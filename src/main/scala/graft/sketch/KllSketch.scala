@@ -1,0 +1,219 @@
+package graft.sketch
+
+import java.nio.ByteBuffer
+
+import scala.collection.mutable.ArrayBuffer
+
+/** KLL quantile sketch (Karnin, Lang, Liberty 2016, "Optimal Quantile
+  * Approximation in Streams"): a hierarchy of compactors where level h
+  * holds items of weight 2^h; when a level overflows its capacity
+  * ~ k * c^(H-1-h) (c = 2/3, floor 2), it sorts, keeps every other item
+  * (random even/odd offset), and promotes the survivors one level up.
+  *
+  * Published bound: additive rank error eps*n with eps = O(1/k) with high
+  * probability; for k=200 the constant-factor bound used by the tests is
+  * eps ~= 1.65/k at ~99% confidence. Merge concatenates levels then
+  * re-compacts — associative up to the sketch's own error bound (unlike
+  * Bloom/HLL/CMS, byte-identity under re-ordering is not a KLL property;
+  * the compaction coin-flips make two merge orders differ within eps).
+  *
+  * Coin flips come from a deterministic xorshift PRNG seeded from the
+  * sketch config, so a given update sequence is fully reproducible.
+  */
+final class KllSketch private (
+    val k: Int,
+    private var nTotal: Long,
+    private var levels: ArrayBuffer[ArrayBuffer[Double]],
+    private var rngState: Long) extends Serializable {
+
+  import KllSketch._
+
+  def n: Long = nTotal
+
+  @inline private def nextBit(): Boolean = {
+    // xorshift64*
+    var x = rngState
+    x ^= x >>> 12
+    x ^= x << 25
+    x ^= x >>> 27
+    rngState = x
+    (x * 0x2545f4914f6cdd1dL) < 0
+  }
+
+  private def capacity(level: Int): Int = {
+    val depth = levels.length - 1 - level
+    math.max(2, math.ceil(k * math.pow(C, depth.toDouble)).toInt)
+  }
+
+  def update(v: Double): Unit = {
+    levels.head += v
+    nTotal += 1
+    // total capacity across levels is >= k, so below k items nothing can
+    // be over — keeps the common update path O(1)
+    if (itemCount() >= k) compress()
+  }
+
+  @inline private def itemCount(): Int = {
+    var total = 0
+    var h = 0
+    while (h < levels.length) { total += levels(h).length; h += 1 }
+    total
+  }
+
+  private def compress(): Unit = {
+    var h = 0
+    while (h < levels.length) {
+      if (levels(h).length >= capacity(h) && totalOver()) {
+        compactLevel(h)
+      }
+      h += 1
+    }
+  }
+
+  private def totalOver(): Boolean = {
+    var total = 0
+    var cap = 0
+    var h = 0
+    while (h < levels.length) {
+      total += levels(h).length
+      cap += capacity(h)
+      h += 1
+    }
+    total >= cap
+  }
+
+  private def compactLevel(h: Int): Unit = {
+    val buf = levels(h)
+    if (buf.length < 2) return
+    if (h == levels.length - 1) levels += new ArrayBuffer[Double]
+    val sorted = buf.sorted
+    // compact an even-length run; an odd straggler stays behind so total
+    // weight is conserved exactly
+    val evenLen = sorted.length & ~1
+    val leftover = new ArrayBuffer[Double]
+    if (sorted.length % 2 == 1) leftover += sorted(sorted.length - 1)
+    val offset = if (nextBit()) 1 else 0
+    val keep = new ArrayBuffer[Double](evenLen / 2)
+    var i = offset
+    while (i < evenLen) {
+      keep += sorted(i)
+      i += 2
+    }
+    levels(h) = leftover
+    levels(h + 1) ++= keep
+  }
+
+  def merge(other: KllSketch): KllSketch = {
+    require(k == other.k, s"Incompatible KLL sketches: k=$k vs k=${other.k}")
+    while (levels.length < other.levels.length) levels += new ArrayBuffer[Double]
+    var h = 0
+    while (h < other.levels.length) {
+      levels(h) ++= other.levels(h)
+      h += 1
+    }
+    nTotal += other.nTotal
+    rngState ^= other.rngState | 1L
+    compress()
+    this
+  }
+
+  /** Value at quantile q in [0,1] (weighted rank interpolation). */
+  def quantile(q: Double): Double = {
+    require(q >= 0.0 && q <= 1.0, s"quantile out of range: $q")
+    if (nTotal == 0) return Double.NaN
+    val items = weightedItems()
+    val targetRank = q * nTotal
+    var cum = 0.0
+    var i = 0
+    while (i < items.length) {
+      cum += items(i)._2
+      if (cum >= targetRank) return items(i)._1
+      i += 1
+    }
+    items.last._1
+  }
+
+  /** Approximate rank (count of items <= v). */
+  def rank(v: Double): Long = {
+    var r = 0.0
+    var h = 0
+    while (h < levels.length) {
+      val w = 1L << h
+      val buf = levels(h)
+      var i = 0
+      while (i < buf.length) {
+        if (buf(i) <= v) r += w
+        i += 1
+      }
+      h += 1
+    }
+    math.round(r)
+  }
+
+  private def weightedItems(): Array[(Double, Long)] = {
+    val out = new ArrayBuffer[(Double, Long)]
+    var h = 0
+    while (h < levels.length) {
+      val w = 1L << h
+      levels(h).foreach(v => out += ((v, w)))
+      h += 1
+    }
+    out.sortBy(_._1).toArray
+  }
+
+  def serialize(): Array[Byte] = {
+    val nItems = levels.map(_.length).sum
+    val buf = ByteBuffer.allocate(4 + 1 + 4 + 8 + 8 + 4 + levels.length * 4 + nItems * 8)
+    buf.putInt(Magic)
+    buf.put(Version)
+    buf.putInt(k)
+    buf.putLong(nTotal)
+    buf.putLong(rngState)
+    buf.putInt(levels.length)
+    levels.foreach { l =>
+      buf.putInt(l.length)
+      l.foreach(buf.putDouble)
+    }
+    buf.array()
+  }
+
+  def copy(): KllSketch =
+    new KllSketch(k, nTotal, levels.map(l => l.clone()), rngState)
+}
+
+object KllSketch {
+  final val C = 2.0 / 3.0
+  final val Magic = 0x4b4c4c31 // "KLL1"
+  final val Version: Byte = 1
+
+  def apply(k: Int = 200): KllSketch = {
+    require(k >= 8, s"k must be >= 8, got $k")
+    new KllSketch(k, 0L, ArrayBuffer(new ArrayBuffer[Double]), seedFor(k))
+  }
+
+  private def seedFor(k: Int): Long = 0x9e3779b97f4a7c13L * (k + 1)
+
+  /** Published-bound constant used by the acceptance tests: eps ~= 1.65/k. */
+  def epsilon(k: Int): Double = 1.65 / k
+
+  def deserialize(bytes: Array[Byte]): KllSketch = {
+    val buf = ByteBuffer.wrap(bytes)
+    require(buf.getInt() == Magic, "not a KllSketch buffer")
+    require(buf.get() == Version, "unsupported KllSketch version")
+    val k = buf.getInt()
+    val nTotal = buf.getLong()
+    val rngState = buf.getLong()
+    val nLevels = buf.getInt()
+    val levels = new ArrayBuffer[ArrayBuffer[Double]](nLevels)
+    var h = 0
+    while (h < nLevels) {
+      val len = buf.getInt()
+      val l = new ArrayBuffer[Double](len)
+      var i = 0
+      while (i < len) { l += buf.getDouble(); i += 1 }
+      levels += l
+      h += 1
+    }
+    new KllSketch(k, nTotal, levels, rngState)
+  }
+}

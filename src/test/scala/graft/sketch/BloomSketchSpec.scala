@@ -1,0 +1,104 @@
+package graft.sketch
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.hash.{HashKernels, JenkinsKernel, Murmur2Kernel}
+
+/** Bloom parity with the reference: exact deterministic false-positive
+  * counts per fast config (FIXTURES.md §3 — stronger than the reference's
+  * statistical bound, and implies k-derivation, radix selection, position
+  * normalization and the multi-hash scheme are all bit-identical), plus
+  * the reference's own FPR inequality (`BloomFilterTestBase.java:130-132`)
+  * and the mergeable-state contract (`BloomFilter.java:198-207`).
+  */
+class BloomSketchSpec extends AnyFunSuite {
+
+  private def falsePositives(kernel: graft.core.hash.HashKernel64,
+      d: Int, n: Int, bpi: Int): (BloomSketch, Long) = {
+    val bloom = BloomSketch(n.toLong, bpi, kernel)
+    (0 until n).foreach(i => bloom.put(s"test__$i"))
+    var positives = 0L
+    (0 until d).foreach(i => if (bloom.contains(s"test__$i")) positives += 1)
+    (bloom, positives - n)
+  }
+
+  private val goldens = Seq(
+    // (kernel, D, n, bitsPerItem, expected k, expected falsePos)
+    (Murmur2Kernel, 1000, 100, 8, 6, 20L),
+    (Murmur2Kernel, 1000, 100, 12, 9, 4L),
+    (Murmur2Kernel, 10000, 1000, 12, 9, 39L),
+    (Murmur2Kernel, 10000, 5000, 16, 12, 2L),
+    (Murmur2Kernel, 1000000, 50000, 16, 12, 456L),
+    (Murmur2Kernel, 1000000, 100000, 8, 6, 19315L),
+    (JenkinsKernel, 1000, 100, 8, 6, 29L),
+    (JenkinsKernel, 1000, 100, 12, 9, 2L),
+    (JenkinsKernel, 10000, 1000, 12, 9, 25L),
+    (JenkinsKernel, 10000, 5000, 16, 12, 3L),
+    (JenkinsKernel, 1000000, 50000, 16, 12, 445L),
+    (JenkinsKernel, 1000000, 100000, 8, 6, 19625L))
+
+  test("deterministic false-positive goldens (FIXTURES.md §3) and reference FPR bound") {
+    goldens.foreach { case (kernel, d, n, bpi, expectK, expectFp) =>
+      val (bloom, fp) = falsePositives(kernel, d, n, bpi)
+      assert(bloom.k === expectK, s"${kernel.name} bpi=$bpi k")
+      assert(fp === expectFp, s"${kernel.name} D=$d n=$n bpi=$bpi falsePos")
+      // the reference's contractual statistical bound
+      assert(fp * 0.95 <= 10 + math.ceil(d * math.pow(0.62, bpi.toDouble)),
+        s"${kernel.name} D=$d n=$n bpi=$bpi bound")
+    }
+  }
+
+  test("putIfAbsent: first insert true, repeat false") {
+    val bloom = BloomSketch(1000, 12)
+    assert(bloom.putIfAbsent("hello"))
+    assert(!bloom.putIfAbsent("hello"))
+  }
+
+  test("merge: union visibility, incompatibility rejected") {
+    val a = BloomSketch(1000, 12)
+    val b = BloomSketch(1000, 12)
+    a.put("only-in-a")
+    b.put("only-in-b")
+    a.merge(b)
+    assert(a.contains("only-in-a") && a.contains("only-in-b"))
+    assert(b.contains("only-in-b") && !b.contains("only-in-a"), "merge must not mutate the argument")
+    intercept[IllegalArgumentException](a.merge(BloomSketch(2000, 12)))
+    intercept[IllegalArgumentException](a.merge(BloomSketch(1000, 8)))
+    intercept[IllegalArgumentException](a.merge(BloomSketch(1000, 12, HashKernels.jenkins)))
+  }
+
+  test("merge is associative, commutative, idempotent: serialized state identical") {
+    val items = (0 until 3000).map(i => s"item__$i")
+    def sketchOf(xs: Seq[String]): BloomSketch = {
+      val s = BloomSketch(3000, 12)
+      xs.foreach(s.put)
+      s
+    }
+    val whole = sketchOf(items)
+    // random 3-way split merged in two different orders
+    val r = new scala.util.Random(7)
+    val parts = items.groupBy(_ => r.nextInt(3)).values.toIndexedSeq.map(sketchOf)
+    val lr = parts(0).copy().merge(parts(1)).merge(parts(2))
+    val rl = parts(2).copy().merge(parts(1)).merge(parts(0))
+    assert(java.util.Arrays.equals(lr.serialize(), whole.serialize()))
+    assert(java.util.Arrays.equals(rl.serialize(), whole.serialize()))
+    val idem = whole.copy().merge(whole)
+    assert(java.util.Arrays.equals(idem.serialize(), whole.serialize()))
+  }
+
+  test("serialization round-trip preserves state and config") {
+    val s = BloomSketch(5000, 16, HashKernels.jenkins)
+    (0 until 1000).foreach(i => s.put(s"x$i"))
+    val back = BloomSketch.deserialize(s.serialize())
+    assert(back.k === s.k)
+    assert(back.kernel.name === "jenkins")
+    assert(java.util.Arrays.equals(back.serialize(), s.serialize()))
+    (0 until 1000).foreach(i => assert(back.contains(s"x$i")))
+  }
+
+  test("int-hash (longHash=false) family also reproduces reference semantics") {
+    val s = BloomSketch(1000, 12, Murmur2Kernel, longHash = false)
+    (0 until 100).foreach(i => s.put(s"test__$i"))
+    (0 until 100).foreach(i => assert(s.contains(s"test__$i")))
+  }
+}

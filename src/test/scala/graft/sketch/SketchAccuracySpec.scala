@@ -1,0 +1,138 @@
+package graft.sketch
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Error-bound and merge-contract tests for the graft sketch extensions
+  * (SURVEY.md §2.6): HLL within 3 sigma of 1.04/sqrt(m); CMS within the
+  * published eps/delta envelope; KLL rank error within eps; and for each,
+  * partition-order-independent merging (byte-identical for HLL/CMS,
+  * bound-preserving for KLL).
+  */
+class SketchAccuracySpec extends AnyFunSuite {
+
+  test("HLL estimate within 3*1.04/sqrt(m) on deterministic corpora") {
+    for (p <- Seq(12, 14); trueCard <- Seq(1000, 50000, 200000)) {
+      val h = HllSketch(p)
+      (0 until trueCard).foreach(i => h.update(s"conv-$i"))
+      val err = math.abs(h.estimate() - trueCard) / trueCard
+      assert(err <= 3 * HllSketch.standardError(p),
+        s"p=$p card=$trueCard err=$err bound=${3 * HllSketch.standardError(p)}")
+    }
+  }
+
+  test("HLL small-range (linear counting) regime is near-exact") {
+    val h = HllSketch(12)
+    (0 until 50).foreach(i => h.update(s"x$i"))
+    assert(math.abs(h.estimate() - 50) <= 2)
+  }
+
+  test("HLL duplicate-insensitive: repeats do not change the estimate") {
+    val a = HllSketch(12)
+    val b = HllSketch(12)
+    (0 until 10000).foreach(i => a.update(s"v$i"))
+    (0 until 10000).foreach(i => { b.update(s"v$i"); b.update(s"v$i") })
+    assert(java.util.Arrays.equals(a.serialize(), b.serialize()))
+  }
+
+  test("HLL merge: byte-identical regardless of split/order; config mismatch rejected") {
+    val items = (0 until 30000).map(i => s"conv-$i")
+    def of(xs: Seq[String]): HllSketch = {
+      val s = HllSketch(12)
+      xs.foreach(s.update)
+      s
+    }
+    val whole = of(items)
+    val r = new scala.util.Random(3)
+    val parts = items.groupBy(_ => r.nextInt(8)).values.toIndexedSeq.map(of)
+    val merged = parts.reduceLeft((a, b) => a.merge(b))
+    val mergedRev = parts.reverse.reduceLeft((a, b) => a.merge(b))
+    assert(java.util.Arrays.equals(merged.serialize(), whole.serialize()))
+    assert(java.util.Arrays.equals(mergedRev.serialize(), whole.serialize()))
+    intercept[IllegalArgumentException](HllSketch(12).merge(HllSketch(13)))
+  }
+
+  test("CMS: estimate >= true, and <= true + eps*N for probed keys") {
+    val d = 5
+    val w = 1 << 14
+    val cms = CmsSketch(d, w)
+    // zipf-ish frequencies: key i appears ~ 50000/(i+1) times
+    val freqs = (0 until 500).map(i => s"key-$i" -> math.max(1, 50000 / (i + 1)))
+    freqs.foreach { case (k, c) => (0 until c).foreach(_ => cms.update(k)) }
+    val n = cms.n
+    assert(n === freqs.map(_._2.toLong).sum)
+    val eps = cms.epsilon
+    var failures = 0
+    freqs.foreach { case (k, c) =>
+      val est = cms.estimate(k)
+      assert(est >= c, s"CMS underestimated $k: $est < $c")
+      if (est > c + eps * n) failures += 1
+    }
+    // delta = e^-5 ~ 0.0067 failure budget across 500 probes => expect ~3
+    assert(failures <= math.max(5, (freqs.size * cms.delta * 3).toInt),
+      s"CMS overflow failures=$failures")
+  }
+
+  test("CMS merge: byte-identical regardless of split/order") {
+    val items = (0 until 20000).map(i => s"key-${i % 997}")
+    def of(xs: Seq[String]): CmsSketch = {
+      val s = CmsSketch(5, 1 << 12)
+      xs.foreach(s.update)
+      s
+    }
+    val whole = of(items)
+    val r = new scala.util.Random(11)
+    val parts = items.groupBy(_ => r.nextInt(5)).values.toIndexedSeq.map(of)
+    val merged = parts.reduceLeft((a, b) => a.merge(b))
+    assert(java.util.Arrays.equals(merged.serialize(), whole.serialize()))
+    assert(merged.n === whole.n)
+  }
+
+  test("KLL: rank error within eps at standard quantiles, exact ground truth") {
+    val k = 200
+    val n = 100000
+    val kll = KllSketch(k)
+    // deterministic shuffled stream of 0..n-1
+    val r = new scala.util.Random(42)
+    val values = r.shuffle((0 until n).toVector)
+    values.foreach(v => kll.update(v.toDouble))
+    assert(kll.n === n)
+    val eps = KllSketch.epsilon(k) * 3 // 3x headroom on the w.h.p. constant
+    for (q <- Seq(0.01, 0.25, 0.5, 0.75, 0.95, 0.99)) {
+      val est = kll.quantile(q)
+      val trueRank = q * n
+      val estRank = est // values are 0..n-1 so value == its rank
+      val rankErr = math.abs(estRank - trueRank) / n
+      assert(rankErr <= eps, s"q=$q est=$est rankErr=$rankErr eps=$eps")
+    }
+  }
+
+  test("KLL: weight conservation — rank of +inf equals n, serialization round-trips") {
+    val kll = KllSketch(128)
+    (0 until 54321).foreach(i => kll.update((i * 31 % 1000).toDouble))
+    assert(kll.rank(Double.MaxValue) === 54321L)
+    val back = KllSketch.deserialize(kll.serialize())
+    assert(back.n === kll.n)
+    assert(back.quantile(0.5) === kll.quantile(0.5))
+    assert(back.rank(Double.MaxValue) === 54321L)
+  }
+
+  test("KLL merge: quantiles stay within bound regardless of partitioning") {
+    val n = 60000
+    val r = new scala.util.Random(9)
+    val values = r.shuffle((0 until n).toVector)
+    for (parts <- Seq(1, 8, 32)) {
+      val sketches = values.grouped(math.max(1, n / parts)).map { chunk =>
+        val s = KllSketch(200)
+        chunk.foreach(v => s.update(v.toDouble))
+        s
+      }.toSeq
+      val merged = sketches.reduceLeft((a, b) => a.merge(b))
+      assert(merged.n === n)
+      for (q <- Seq(0.1, 0.5, 0.9)) {
+        val rankErr = math.abs(merged.quantile(q) - q * n) / n
+        assert(rankErr <= 3 * KllSketch.epsilon(200), s"parts=$parts q=$q err=$rankErr")
+      }
+    }
+    intercept[IllegalArgumentException](KllSketch(100).merge(KllSketch(200)))
+  }
+}
