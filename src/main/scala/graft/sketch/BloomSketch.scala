@@ -22,6 +22,17 @@ import graft.core.hash.{HashKernel64, HashKernels}
   * State is a flat Array[Long] (128 * wordsPerSet words) instead of
   * java.util.BitSet so serialization is a stable compact layout rather
   * than Java serialization of `FilterState`.
+  *
+  * KNOWN REFERENCE QUIRK (reproduced bit-for-bit, verified against the
+  * compiled reference): with the murmur2 kernel, keys that are *short
+  * decimal strings* suffer catastrophic false-positive rates (~50% at
+  * bpi=16 where ~0% is expected). The seed-by-index scheme XORs seeds
+  * 0..k-1 into the initial state (`MurmurHash.java:107-109`, `h = seed ^
+  * len`), and for strings shorter than 8 bytes the leading digit's low
+  * nibble lands in the same bit positions, so one key's k codes become a
+  * permuted subset of a near neighbor's. Mitigations: hash integral keys
+  * via their 8-byte binary form (the Spark layer's ValueBytes does this),
+  * or use the jenkins kernel. Pinned by BloomSketchSpec.
   */
 final class BloomSketch private (
     val kernel: HashKernel64,

@@ -1,0 +1,81 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.spark.agg.{BloomAgg, CmsAgg, HllAgg, KllAgg}
+import graft.spark.expr._
+
+/** SQL registration for the engine: `spark.sql("SELECT graft_hash64(x)...")`.
+  *
+  * Usage: `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.spark.GraftExtensions`. Only function
+  * injection is needed — the core pipeline composes Spark built-ins, and
+  * Catalyst's existing rules (pushdown, pruning, partial agg, AQE) do the
+  * optimizing (SURVEY.md §4).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def lit(e: Expression): String = e match {
+    case Literal(v: UTF8String, _) => v.toString
+    case Literal(v, _) => String.valueOf(v)
+    case other => throw new IllegalArgumentException(
+      s"argument must be a literal, got $other")
+  }
+
+  private def litInt(e: Expression): Int = lit(e).toInt
+  private def litLong(e: Expression): Long = lit(e).toLong
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def register(name: String, builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        builder))
+
+    register("graft_hash64", {
+      case Seq(c) => GraftHash64(c, "murmur2")
+      case Seq(c, k) => GraftHash64(c, lit(k))
+    })
+    register("graft_hash32", {
+      case Seq(c) => GraftHash32(c, "murmur2")
+      case Seq(c, k) => GraftHash32(c, lit(k))
+    })
+    register("graft_hash64_seeded", {
+      case Seq(c, seed) => GraftHash64Seeded(c, seed, "murmur2")
+      case Seq(c, seed, k) => GraftHash64Seeded(c, seed, lit(k))
+    })
+    register("graft_hash64_k", {
+      case Seq(c, k) => GraftHash64K(c, k, "murmur2")
+      case Seq(c, k, kern) => GraftHash64K(c, k, lit(kern))
+    })
+    register("bloom_sketch", {
+      case Seq(c, maxSize, bpi) =>
+        BloomAgg(c, litLong(maxSize), litInt(bpi)).toAggregateExpression()
+      case Seq(c, maxSize, bpi, kern) =>
+        BloomAgg(c, litLong(maxSize), litInt(bpi), lit(kern)).toAggregateExpression()
+    })
+    register("hll_sketch", {
+      case Seq(c) => HllAgg(c, 14).toAggregateExpression()
+      case Seq(c, p) => HllAgg(c, litInt(p)).toAggregateExpression()
+      case Seq(c, p, kern) => HllAgg(c, litInt(p), lit(kern)).toAggregateExpression()
+    })
+    register("cms_sketch", {
+      case Seq(c) => CmsAgg(c, 5, 1 << 14).toAggregateExpression()
+      case Seq(c, d, w) => CmsAgg(c, litInt(d), litInt(w)).toAggregateExpression()
+      case Seq(c, d, w, kern) =>
+        CmsAgg(c, litInt(d), litInt(w), lit(kern)).toAggregateExpression()
+    })
+    register("kll_sketch", {
+      case Seq(c) => KllAgg(c, 200).toAggregateExpression()
+      case Seq(c, k) => KllAgg(c, litInt(k)).toAggregateExpression()
+    })
+    register("bloom_might_contain", { case Seq(s, c) => BloomMightContain(s, c) })
+    register("hll_estimate", { case Seq(s) => HllEstimate(s) })
+    register("cms_estimate", { case Seq(s, c) => CmsEstimate(s, c) })
+    register("kll_quantile", { case Seq(s, q) => KllQuantile(s, q) })
+    register("kll_rank", { case Seq(s, v) => KllRank(s, v) })
+  }
+}

@@ -1,0 +1,146 @@
+package graft.spark.expr
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.hash.{HashKernel64, HashKernels}
+
+/** Per-row hash projections over the engine's kernels — the Spark face of
+  * the reference's `LongHash` SPI (`LongHash.java:24-48`). These are
+  * native Catalyst expressions (not UDFs): `doGenCode` emits a direct
+  * kernel call against a codegen reference object, so the projection
+  * stays inside whole-stage codegen.
+  *
+  * Input may be string (hashed as UTF-8 bytes, exactly like the
+  * reference's String overloads) or binary.
+  */
+trait GraftHashExpression { self: Expression =>
+  def kernelName: String
+
+  /** string or binary accepted for hashed operands. */
+  protected final def checkHashable(dt: DataType, pos: String): TypeCheckResult = dt match {
+    case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string or binary for $pos argument, got ${other.catalogString}")
+  }
+
+  protected final def checkExact(dt: DataType, want: DataType, pos: String): TypeCheckResult =
+    if (dt == want) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ${want.catalogString} for $pos argument, got ${dt.catalogString}")
+
+  @transient protected final lazy val kernel: HashKernel64 = HashKernels(kernelName)
+
+  protected final def childBytes(value: Any, dt: DataType): Array[Byte] = dt match {
+    case StringType => value.asInstanceOf[UTF8String].getBytes
+    case BinaryType => value.asInstanceOf[Array[Byte]]
+    case other => throw new IllegalStateException(s"unsupported input type $other")
+  }
+
+  /** Codegen snippet turning the child's generated value into byte[]. */
+  protected final def bytesCode(childValue: String, dt: DataType): String = dt match {
+    case StringType => s"$childValue.getBytes()"
+    case BinaryType => childValue
+    case other => throw new IllegalStateException(s"unsupported input type $other")
+  }
+}
+
+/** `graft_hash64(input)` — the kernel's default-seed 64-bit code. */
+case class GraftHash64(child: Expression, kernelName: String)
+    extends UnaryExpression with GraftHashExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = checkHashable(child.dataType, "first")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = s"graft_hash64_$kernelName"
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel.hash64(childBytes(input, child.dataType))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernelRef = ctx.addReferenceObj("kernel", kernel, classOf[HashKernel64].getName)
+    defineCodeGen(ctx, ev, c => s"$kernelRef.hash64(${bytesCode(c, child.dataType)})")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftHash64 =
+    copy(child = newChild)
+}
+
+/** `graft_hash32(input)` — the kernel's default-seed 32-bit code. */
+case class GraftHash32(child: Expression, kernelName: String)
+    extends UnaryExpression with GraftHashExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = checkHashable(child.dataType, "first")
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = s"graft_hash32_$kernelName"
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel.hash32(childBytes(input, child.dataType))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernelRef = ctx.addReferenceObj("kernel", kernel, classOf[HashKernel64].getName)
+    defineCodeGen(ctx, ev, c => s"$kernelRef.hash32(${bytesCode(c, child.dataType)})")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftHash32 =
+    copy(child = newChild)
+}
+
+/** `graft_hash64_seeded(input, seed)` — explicit-seed Murmur-style hash;
+  * only kernels with a seeded form support this (murmur2, jenkins, cwow
+  * use seed-by-index; fnv/hsieh chain, where `seed` is the chain state). */
+case class GraftHash64Seeded(left: Expression, right: Expression, kernelName: String)
+    extends BinaryExpression with GraftHashExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val first = checkHashable(left.dataType, "first")
+    if (first.isFailure) first else checkExact(right.dataType, LongType, "second")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = s"graft_hash64_seeded_$kernelName"
+
+  @transient private lazy val seeded: (Array[Byte], Long) => Long = kernel match {
+    case graft.core.hash.Murmur2Kernel => graft.core.hash.Murmur2Kernel.hash64Seeded
+    case graft.core.hash.JenkinsKernel => graft.core.hash.JenkinsKernel.hash64Seeded
+    case graft.core.hash.CWowKernel => graft.core.hash.CWowKernel.hash64Seeded
+    case graft.core.hash.Fnv1Kernel => graft.core.hash.Fnv1Kernel.hash64Seeded
+    case graft.core.hash.Fnv1aKernel => graft.core.hash.Fnv1aKernel.hash64Seeded
+    case graft.core.hash.HsiehKernel => graft.core.hash.HsiehKernel.hash64Seeded
+    case other =>
+      throw new IllegalArgumentException(s"kernel ${other.name} has no seeded form")
+  }
+
+  override protected def nullSafeEval(input: Any, seed: Any): Any =
+    seeded(childBytes(input, left.dataType), seed.asInstanceOf[Long])
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GraftHash64Seeded =
+    copy(left = l, right = r)
+}
+
+/** `graft_hash64_k(input, k)` — the kernel's k-vector multi-hash
+  * (`LongHash.getLongHashCodes`), preserving the per-algorithm scheme.
+  * Prefer looping inside sketch aggregates; this exists for SQL users and
+  * tests. k must be foldable. */
+case class GraftHash64K(left: Expression, right: Expression, kernelName: String)
+    extends BinaryExpression with GraftHashExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val first = checkHashable(left.dataType, "first")
+    if (first.isFailure) first else checkExact(right.dataType, IntegerType, "second")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = s"graft_hash64_k_$kernelName"
+
+  override protected def nullSafeEval(input: Any, k: Any): Any =
+    new GenericArrayData(kernel.hash64K(childBytes(input, left.dataType), k.asInstanceOf[Int]))
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GraftHash64K =
+    copy(left = l, right = r)
+}

@@ -1,0 +1,188 @@
+package graft.spark.expr
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import graft.sketch.{BloomSketch, CmsSketch, HllSketch, KllSketch}
+import graft.spark.agg.ValueBytes
+
+/** Scalar query expressions over serialized sketch buffers (BinaryType).
+  *
+  * Per-row deserialization would be catastrophic, so each expression
+  * caches the deserialized sketch keyed on the bytes' object identity —
+  * the common shape is a collected sketch broadcast as a literal, where
+  * the same array instance is seen by every row. The probe itself is
+  * codegen'd via a reference object, keeping whole-stage codegen intact
+  * (the `ckblm`-style Bloom filter probe, `cmd/ckblm.java:63-66`, is the
+  * reference's hot membership path).
+  */
+private[expr] object SketchTypeChecks {
+  def binaryFirst(prettyName: String, dt: DataType): TypeCheckResult = dt match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary sketch as first argument, got ${other.catalogString}")
+  }
+  def hashable(prettyName: String, dt: DataType): TypeCheckResult =
+    ValueBytes.checkSketchable(prettyName, dt)
+  def exact(prettyName: String, dt: DataType, want: DataType): TypeCheckResult =
+    if (dt == want) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ${want.catalogString} argument, got ${dt.catalogString}")
+}
+
+private[expr] final class SketchCache[S <: AnyRef](deser: Array[Byte] => S) extends Serializable {
+  @transient private var lastBytes: Array[Byte] = _
+  @transient private var lastSketch: S = _
+
+  def get(bytes: Array[Byte]): S = {
+    if (!(bytes eq lastBytes)) {
+      lastSketch = deser(bytes)
+      lastBytes = bytes
+    }
+    lastSketch
+  }
+}
+
+/** `bloom_might_contain(sketchBytes, value)` — true iff all k bits set;
+  * mirrors the reference `BloomFilter.contains` (`BloomFilter.java:167-191`). */
+case class BloomMightContain(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val f = SketchTypeChecks.binaryFirst(prettyName, left.dataType)
+    if (f.isFailure) f else SketchTypeChecks.hashable(prettyName, right.dataType)
+  }
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bloom_might_contain"
+
+  @transient private lazy val cache = new SketchCache(BloomSketch.deserialize)
+
+  def contains(sketchBytes: Array[Byte], value: Any): Boolean =
+    cache.get(sketchBytes).contains(ValueBytes.toBytes(value, right.dataType))
+
+  override protected def nullSafeEval(sketch: Any, value: Any): Any =
+    contains(sketch.asInstanceOf[Array[Byte]], value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomExpr", this, classOf[BloomMightContain].getName)
+    nullSafeCodeGen(ctx, ev, (s, v) => s"${ev.value} = $ref.contains($s, $v);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomMightContain =
+    copy(left = l, right = r)
+}
+
+/** `hll_estimate(sketchBytes)` — rounded distinct-count estimate. */
+case class HllEstimate(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    SketchTypeChecks.binaryFirst(prettyName, child.dataType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hll_estimate"
+
+  @transient private lazy val cache = new SketchCache(HllSketch.deserialize)
+
+  def estimate(sketchBytes: Array[Byte]): Long =
+    math.round(cache.get(sketchBytes).estimate())
+
+  override protected def nullSafeEval(sketch: Any): Any =
+    estimate(sketch.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hllExpr", this, classOf[HllEstimate].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.estimate($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HllEstimate =
+    copy(child = newChild)
+}
+
+/** `cms_estimate(sketchBytes, key)` — upper-bounded frequency estimate. */
+case class CmsEstimate(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val f = SketchTypeChecks.binaryFirst(prettyName, left.dataType)
+    if (f.isFailure) f else SketchTypeChecks.hashable(prettyName, right.dataType)
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cms_estimate"
+
+  @transient private lazy val cache = new SketchCache(CmsSketch.deserialize)
+
+  def estimate(sketchBytes: Array[Byte], value: Any): Long =
+    cache.get(sketchBytes).estimate(ValueBytes.toBytes(value, right.dataType))
+
+  override protected def nullSafeEval(sketch: Any, value: Any): Any =
+    estimate(sketch.asInstanceOf[Array[Byte]], value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cmsExpr", this, classOf[CmsEstimate].getName)
+    nullSafeCodeGen(ctx, ev, (s, v) => s"${ev.value} = $ref.estimate($s, $v);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsEstimate =
+    copy(left = l, right = r)
+}
+
+/** `kll_quantile(sketchBytes, q)` — value at quantile q in [0,1]. */
+case class KllQuantile(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val f = SketchTypeChecks.binaryFirst(prettyName, left.dataType)
+    if (f.isFailure) f else SketchTypeChecks.exact(prettyName, right.dataType, DoubleType)
+  }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "kll_quantile"
+
+  @transient private lazy val cache = new SketchCache(KllSketch.deserialize)
+
+  def quantile(sketchBytes: Array[Byte], q: Double): Double =
+    cache.get(sketchBytes).quantile(q)
+
+  override protected def nullSafeEval(sketch: Any, q: Any): Any =
+    quantile(sketch.asInstanceOf[Array[Byte]], q.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kllExpr", this, classOf[KllQuantile].getName)
+    nullSafeCodeGen(ctx, ev, (s, q) => s"${ev.value} = $ref.quantile($s, $q);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KllQuantile =
+    copy(left = l, right = r)
+}
+
+/** `kll_rank(sketchBytes, v)` — approximate count of items <= v. */
+case class KllRank(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val f = SketchTypeChecks.binaryFirst(prettyName, left.dataType)
+    if (f.isFailure) f else SketchTypeChecks.exact(prettyName, right.dataType, DoubleType)
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "kll_rank"
+
+  @transient private lazy val cache = new SketchCache(KllSketch.deserialize)
+
+  def rank(sketchBytes: Array[Byte], v: Double): Long = cache.get(sketchBytes).rank(v)
+
+  override protected def nullSafeEval(sketch: Any, v: Any): Any =
+    rank(sketch.asInstanceOf[Array[Byte]], v.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kllRankExpr", this, classOf[KllRank].getName)
+    nullSafeCodeGen(ctx, ev, (s, v) => s"${ev.value} = $ref.rank($s, $v);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KllRank =
+    copy(left = l, right = r)
+}

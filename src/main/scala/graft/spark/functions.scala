@@ -1,0 +1,78 @@
+package graft.spark
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+
+import graft.spark.agg.{BloomAgg, CmsAgg, HllAgg, KllAgg}
+import graft.spark.expr._
+
+/** User-facing Column functions — the engine's public API surface,
+  * mirroring `org.apache.spark.sql.functions` style. Hash projections and
+  * sketch aggregates over any graft kernel
+  * (murmur2 | jenkins | fnv1 | fnv1a | hsieh | cwow | sha1prng).
+  */
+object functions {
+
+  // ---- hash projections (reference LongHash SPI, LongHash.java:24-48) ----
+
+  /** 64-bit kernel hash; strings hash as UTF-8 bytes. */
+  def graft_hash64(c: Column, kernel: String = "murmur2"): Column =
+    column(GraftHash64(expression(c), kernel))
+
+  /** 32-bit kernel hash. */
+  def graft_hash32(c: Column, kernel: String = "murmur2"): Column =
+    column(GraftHash32(expression(c), kernel))
+
+  /** Murmur2-64 with the file-format default seed 0 — the engine's
+    * canonical hash (reference `Calculations.computeLongHash:44-47`). */
+  def murmur64(c: Column): Column = graft_hash64(c, "murmur2")
+
+  /** Explicit-seed 64-bit hash (murmur2/jenkins/cwow: seed; fnv/hsieh:
+    * chain state). */
+  def graft_hash64_seeded(c: Column, seed: Column, kernel: String = "murmur2"): Column =
+    column(GraftHash64Seeded(expression(c), expression(seed), kernel))
+
+  /** k-vector multi-hash preserving the kernel's seeding scheme. */
+  def graft_hash64_k(c: Column, k: Column, kernel: String = "murmur2"): Column =
+    column(GraftHash64K(expression(c), expression(k), kernel))
+
+  // ---- sketch aggregates (binary buffers; mergeable) ----
+
+  def bloom_sketch(c: Column, maxSize: Long, bitsPerItem: Int,
+      kernel: String = "murmur2", longHash: Boolean = true): Column =
+    column(BloomAgg(expression(c), maxSize, bitsPerItem, kernel, longHash)
+      .toAggregateExpression())
+
+  def hll_sketch(c: Column, p: Int = 14, kernel: String = "murmur2"): Column =
+    column(HllAgg(expression(c), p, kernel).toAggregateExpression())
+
+  def cms_sketch(c: Column, depth: Int = 5, width: Int = 1 << 14,
+      kernel: String = "murmur2"): Column =
+    column(CmsAgg(expression(c), depth, width, kernel).toAggregateExpression())
+
+  def kll_sketch(c: Column, k: Int = 200): Column =
+    column(KllAgg(expression(c), k).toAggregateExpression())
+
+  // ---- sketch probes (scalar) ----
+
+  def bloom_might_contain(sketch: Column, c: Column): Column =
+    column(BloomMightContain(expression(sketch), expression(c)))
+
+  def hll_estimate(sketch: Column): Column =
+    column(HllEstimate(expression(sketch)))
+
+  def cms_estimate(sketch: Column, key: Column): Column =
+    column(CmsEstimate(expression(sketch), expression(key)))
+
+  def kll_quantile(sketch: Column, q: Column): Column =
+    column(KllQuantile(expression(sketch), expression(q)))
+
+  def kll_rank(sketch: Column, v: Column): Column =
+    column(KllRank(expression(sketch), expression(v)))
+
+  // ---- one-shot conveniences ----
+
+  /** Distinct-count estimate in one aggregation (hll_estimate ∘ hll_sketch). */
+  def hll_distinct(c: Column, p: Int = 14): Column =
+    hll_estimate(hll_sketch(c, p))
+}

@@ -96,6 +96,25 @@ class BloomSketchSpec extends AnyFunSuite {
     (0 until 1000).foreach(i => assert(back.contains(s"x$i")))
   }
 
+  test("reference quirk pinned: short decimal-string keys collapse murmur2 FPR") {
+    // Verified against the compiled reference: BloomFilter(murmur, 100000,
+    // 16) loaded with "0".."492" yields exactly 465 false positives over
+    // probes "493".."9999" — the seed-by-index/leading-digit correlation
+    // documented on BloomSketch. Jenkins is immune; 8-byte binary keys are
+    // immune. Exact parity here proves we reproduce the quirk, not a
+    // different bug.
+    def fprOf(kernel: graft.core.hash.HashKernel64, key: Int => Array[Byte]): Long = {
+      val s = BloomSketch(100000L, 16, kernel)
+      (0 until 493).foreach(i => s.put(key(i)))
+      (493 until 10000).count(i => s.contains(key(i))).toLong
+    }
+    val dec = (i: Int) => i.toString.getBytes("UTF-8")
+    val bin = (i: Int) => java.nio.ByteBuffer.allocate(8).putLong(i.toLong).array()
+    assert(fprOf(Murmur2Kernel, dec) === 465L)
+    assert(fprOf(JenkinsKernel, dec) === 0L)
+    assert(fprOf(Murmur2Kernel, bin) === 0L)
+  }
+
   test("int-hash (longHash=false) family also reproduces reference semantics") {
     val s = BloomSketch(1000, 12, Murmur2Kernel, longHash = false)
     (0 until 100).foreach(i => s.put(s"test__$i"))

@@ -1,0 +1,149 @@
+package graft.spark
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.core.hash.{HashKernels, Murmur2Kernel}
+import graft.sketch.{BloomSketch, CmsSketch, HllSketch, KllSketch}
+import graft.spark.functions._
+
+/** End-to-end Spark tests for the expression + aggregate layer: hash
+  * parity with the kernels (golden vectors through the SQL engine),
+  * sketch aggregates vs exact ground truth, and partition-order
+  * independence of partial aggregation (the north rule's merge
+  * associativity requirement) by re-running under different shuffle
+  * partition counts.
+  */
+class GraftFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("graft_hash64/32 match kernel values through codegen") {
+    val inputs = Seq("", "0", "hello", "world", "conv-00042:17", "test__0")
+    val df = inputs.toDF("s")
+      .withColumn("h64", graft_hash64(F.col("s")))
+      .withColumn("h32", graft_hash32(F.col("s")))
+      .withColumn("j64", graft_hash64(F.col("s"), "jenkins"))
+      .withColumn("c64", graft_hash64(F.col("s"), "cwow"))
+    df.collect().foreach { row =>
+      val s = row.getString(0)
+      assert(row.getLong(1) === Murmur2Kernel.hash64(s), s"murmur64($s)")
+      assert(row.getInt(2) === Murmur2Kernel.hash32(s), s"murmur32($s)")
+      assert(row.getLong(3) === HashKernels.jenkins.hash64(s))
+      assert(row.getLong(4) === HashKernels.cwow.hash64(s))
+    }
+    // specific golden via SQL registration
+    val viaSql = spark.sql("SELECT graft_hash64('hello')").head().getLong(0)
+    assert(viaSql === 0x40965054df2bc5ddL)
+  }
+
+  test("hash expressions stay inside whole-stage codegen") {
+    val df = spark.range(100)
+      .select(F.concat(F.lit("x"), F.col("id").cast("string")).as("s"))
+      .withColumn("h", murmur64(F.col("s")))
+    // the "*(n)" prefix marks operators fused into a WholeStageCodegen stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("graft_hash64"),
+      s"plan lost codegen:\n$plan")
+  }
+
+  test("binary input hashes like byte[] overload; nulls propagate") {
+    val df = Seq(Array[Byte](1, 2, 3), null).toDF("b")
+      .withColumn("h", graft_hash64(F.col("b")))
+    val rows = df.collect()
+    assert(rows(0).getLong(1) === Murmur2Kernel.hash64(Array[Byte](1, 2, 3)))
+    assert(rows(1).isNullAt(1))
+  }
+
+  test("graft_hash64_k preserves the per-kernel scheme") {
+    val row = Seq("hello").toDF("s")
+      .select(graft_hash64_k(F.col("s"), F.lit(5)).as("ks"),
+        graft_hash64_k(F.col("s"), F.lit(5), "fnv1").as("kf"))
+      .head()
+    assert(row.getSeq[Long](0) === Murmur2Kernel.hash64K("hello", 5).toSeq)
+    assert(row.getSeq[Long](1) === HashKernels.fnv1.hash64K("hello", 5).toSeq)
+  }
+
+  test("bloom_sketch + bloom_might_contain: e2e membership with exact reference bits") {
+    val n = 2000
+    val data = (0 until n).map(i => s"doc__$i").toDF("s")
+    val sketchBytes = data.agg(bloom_sketch(F.col("s"), n, 12)).head().getAs[Array[Byte]](0)
+    // equals a driver-side sketch built sequentially (bit-exact merge)
+    val local = BloomSketch(n.toLong, 12)
+    (0 until n).foreach(i => local.put(s"doc__$i"))
+    assert(java.util.Arrays.equals(sketchBytes, local.serialize()))
+    // probe via expression
+    val probes = ((0 until 100) ++ (10000 until 10100)).map(i => s"doc__$i").toDF("p")
+    val hits = probes.filter(bloom_might_contain(F.lit(sketchBytes), F.col("p"))).count()
+    assert(hits >= 100 && hits <= 105, s"hits=$hits") // all members + rare FPs
+  }
+
+  test("hll_sketch estimate within bound; partition-count independent bytes") {
+    val df = (0 until 30000).map(i => s"conv-${i % 10000}").toDF("s")
+    val sketches = Seq(1, 4, 13).map { parts =>
+      df.repartition(parts).agg(hll_sketch(F.col("s"), 12)).head().getAs[Array[Byte]](0)
+    }
+    assert(java.util.Arrays.equals(sketches(0), sketches(1)))
+    assert(java.util.Arrays.equals(sketches(0), sketches(2)))
+    val est = HllSketch.deserialize(sketches(0)).estimate()
+    assert(math.abs(est - 10000) / 10000.0 <= 3 * HllSketch.standardError(12))
+    // one-shot convenience
+    val direct = df.agg(hll_distinct(F.col("s"), 12)).head().getLong(0)
+    assert(direct === math.round(est))
+  }
+
+  test("cms_sketch counts within eps*N; partition-count independent bytes") {
+    val rows = (0 until 300).flatMap(i => Seq.fill(math.max(1, 3000 / (i + 1)))(s"k$i"))
+    val df = rows.toDF("s")
+    val sketches = Seq(1, 4, 13).map { parts =>
+      df.repartition(parts).agg(cms_sketch(F.col("s"), 5, 1 << 12)).head().getAs[Array[Byte]](0)
+    }
+    assert(java.util.Arrays.equals(sketches(0), sketches(1)))
+    assert(java.util.Arrays.equals(sketches(0), sketches(2)))
+    val cms = CmsSketch.deserialize(sketches(0))
+    val exact = rows.groupBy(identity).view.mapValues(_.size).toMap
+    exact.foreach { case (k, c) =>
+      assert(cms.estimate(k) >= c)
+      assert(cms.estimate(k) <= c + cms.epsilon * cms.n + 1)
+    }
+    // probe via expression
+    val est = df.agg(cms_sketch(F.col("s"), 5, 1 << 12).as("sk"))
+      .select(cms_estimate(F.col("sk"), F.lit("k0")))
+      .head().getLong(0)
+    assert(est >= exact("k0"))
+  }
+
+  test("kll_sketch quantiles within rank-error bound under shuffle") {
+    val n = 50000
+    val df = spark.range(n).select(F.col("id").cast("double").as("v"))
+      .repartition(8)
+    val bytes = df.agg(kll_sketch(F.col("v"), 200)).head().getAs[Array[Byte]](0)
+    val kll = KllSketch.deserialize(bytes)
+    assert(kll.n === n)
+    for (q <- Seq(0.05, 0.5, 0.95)) {
+      val err = math.abs(kll.quantile(q) - q * n) / n
+      assert(err <= 3 * KllSketch.epsilon(200), s"q=$q err=$err")
+    }
+    // scalar probes
+    val row = df.agg(kll_sketch(F.col("v"), 200).as("sk"))
+      .select(kll_quantile(F.col("sk"), F.lit(0.5)), kll_rank(F.col("sk"), F.lit(n / 2.0)))
+      .head()
+    assert(math.abs(row.getDouble(0) - n / 2.0) / n <= 3 * KllSketch.epsilon(200))
+    assert(math.abs(row.getLong(1) - n / 2.0) / n <= 3 * KllSketch.epsilon(200))
+  }
+
+  test("grouped sketches: per-group aggregation works") {
+    val df = (0 until 9000).map(i => (s"g${i % 3}", s"v${i % (300 * (1 + i % 3))}")).toDF("g", "v")
+    val out = df.groupBy("g").agg(hll_distinct(F.col("v"), 12).as("d")).collect()
+    assert(out.length === 3)
+    out.foreach(r => assert(r.getLong(1) > 0))
+  }
+
+  test("SQL end-to-end: sketch build + probe via registered functions") {
+    (0 until 1000).map(i => s"item$i").toDF("s").createOrReplaceTempView("items")
+    val est = spark.sql(
+      "SELECT hll_estimate(hll_sketch(s, 12)) FROM items").head().getLong(0)
+    assert(math.abs(est - 1000.0) / 1000.0 <= 3 * HllSketch.standardError(12))
+    val q = spark.sql(
+      "SELECT kll_quantile(kll_sketch(length(s)), 0.5d) FROM items").head().getDouble(0)
+    assert(q >= 7 && q <= 8) // item0..item999: lengths 5..8, median 7 or 8
+  }
+}
