@@ -1,0 +1,219 @@
+package graft.jobs
+
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+
+import graft.data.TranscriptTable
+import graft.sketch.{BloomSketch, CmsSketch, HllSketch, KllSketch}
+import graft.spark.functions._
+
+/** The engine's flagship batch job (the `mkblm`/`mkhf` analog at cluster
+  * scale, SURVEY.md §7 step 7): build mergeable sketches over a transcript
+  * table, checkpointing per-partition state so a killed run resumes
+  * without recomputation.
+  *
+  * Scale design (targets 10^12 turns / 1000 executors; exercised here at
+  * local scale):
+  *  - the unit of work and of lineage is `part_id = murmur64(conv_id) mod
+  *    nParts` — content-derived, so the partition -> input mapping is
+  *    stable across cluster sizes and file orders (required for resume
+  *    correctness);
+  *  - a completed part is recorded as a manifest JSON with row counts and
+  *    wall time; on restart, completed parts are pruned from the scan
+  *    (partition pruning on the parquet partition column — pending-part
+  *    file listing never touches finished data);
+  *  - per-part sketches are written distributed (dynamic partition
+  *    overwrite — a crashed run's half-written partition is safely
+  *    rewritten, never duplicated);
+  *  - sketch aggregation is map-side partial: each input split collapses
+  *    to one sketch buffer before the shuffle, so the exchange moves
+  *    O(parts * sketchBytes), independent of row count;
+  *  - the final global merge reads only the per-part sketch rows (tiny)
+  *    and unions them with the `*_merge` aggregates — associativity makes
+  *    the result identical to a single-pass aggregation.
+  */
+object SketchBuildJob {
+
+  case class Config(
+      input: String,
+      out: String,
+      nParts: Int = 32,
+      hllP: Int = 14,
+      cmsDepth: Int = 5,
+      cmsWidth: Int = 1 << 14,
+      kllK: Int = 200,
+      bloomMaxSize: Long = 1 << 20,
+      bloomBpi: Int = 16,
+      /** cap on parts processed in one run (incremental operation /
+        * kill-resume testing); None = all pending */
+      maxPartsPerRun: Option[Int] = None)
+
+  case class PartMetrics(partId: Int, rows: Long, estConvs: Long, wallMs: Long)
+
+  case class BuildResult(
+      processedParts: Seq[PartMetrics],
+      skippedParts: Seq[Int],
+      totalRows: Long,
+      estDistinctConvs: Long,
+      estDistinctTools: Long,
+      textLenP50: Double,
+      textLenP99: Double)
+
+  private def manifestDir(out: String): Path = Paths.get(out, "_manifest")
+  private def partsDir(out: String): String = s"$out/parts"
+  private def finalDir(out: String): Path = Paths.get(out, "final")
+
+  def completedParts(out: String): Set[Int] = {
+    val dir = manifestDir(out)
+    if (!Files.exists(dir)) Set.empty
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("part-") && s.endsWith(".json") =>
+        s.stripPrefix("part-").stripSuffix(".json").toInt }
+      .toSet
+  }
+
+  /** The per-part sketch aggregation — one row per part_id. */
+  private def partAggregates(df: DataFrame, c: Config): DataFrame = {
+    val roleTool = F.concat_ws("|", F.col("role"), F.coalesce(F.col("tool"), F.lit("-")))
+    df.groupBy(F.col(TranscriptTable.PartCol))
+      .agg(
+        F.count(F.lit(1)).as("rows"),
+        hll_sketch(F.col("conv_id"), c.hllP).as("hll_conv"),
+        hll_sketch(F.col("tool"), c.hllP).as("hll_tool"),
+        cms_sketch(roleTool, c.cmsDepth, c.cmsWidth).as("cms_roletool"),
+        kll_sketch(F.length(F.col("text")), c.kllK).as("kll_textlen"),
+        bloom_sketch(F.col("conv_id"), c.bloomMaxSize, c.bloomBpi).as("bloom_conv"))
+  }
+
+  def run(spark: SparkSession, c: Config): BuildResult = {
+    Files.createDirectories(manifestDir(c.out))
+    val df = TranscriptTable.read(spark, c.input)
+
+    val allParts = df.select(TranscriptTable.PartCol).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val done = completedParts(c.out)
+    val pendingAll = allParts.filterNot(done)
+    val pending = c.maxPartsPerRun.fold(pendingAll)(pendingAll.take)
+
+    val processed: Seq[PartMetrics] =
+      if (pending.isEmpty) Seq.empty
+      else {
+        val t0 = System.nanoTime()
+        val slice = df.filter(F.col(TranscriptTable.PartCol).isin(pending: _*))
+        val partRows = partAggregates(slice, c)
+        // distributed write of per-part sketch rows; dynamic overwrite so
+        // a rerun of a crashed part replaces rather than duplicates
+        partRows.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(TranscriptTable.PartCol)
+          .parquet(partsDir(c.out))
+        val wallMs = (System.nanoTime() - t0) / 1000000
+        // lineage + metrics from the written (small) per-part rows
+        val written = spark.read.parquet(partsDir(c.out))
+          .filter(F.col(TranscriptTable.PartCol).isin(pending: _*))
+          .select(F.col(TranscriptTable.PartCol), F.col("rows"),
+            hll_estimate(F.col("hll_conv")).as("est_convs"))
+          .collect()
+        written.map { r =>
+          val m = PartMetrics(r.getInt(0), r.getLong(1), r.getLong(2), wallMs / pending.size)
+          val json =
+            s"""{"part_id":${m.partId},"rows":${m.rows},"est_convs":${m.estConvs},
+               |"wall_ms":${m.wallMs},"input":"${c.input}",
+               |"predicate":"${TranscriptTable.PartCol}=${m.partId}",
+               |"output":"${partsDir(c.out)}/${TranscriptTable.PartCol}=${m.partId}"}"""
+              .stripMargin.replace("\n", "")
+          Files.write(manifestDir(c.out).resolve(s"part-${m.partId}.json"),
+            json.getBytes("UTF-8"),
+            StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+          m
+        }.toSeq
+      }
+
+    // global rollup over ALL completed parts (previous + this run):
+    // reads only the per-part sketch rows — O(parts), not O(rows)
+    val nowDone = completedParts(c.out)
+    val finalRow = spark.read.parquet(partsDir(c.out))
+      .filter(F.col(TranscriptTable.PartCol).isin(nowDone.toSeq: _*))
+      .agg(
+        F.sum(F.col("rows")).as("rows"),
+        hll_merge(F.col("hll_conv")).as("hll_conv"),
+        hll_merge(F.col("hll_tool")).as("hll_tool"),
+        cms_merge(F.col("cms_roletool")).as("cms_roletool"),
+        kll_merge(F.col("kll_textlen")).as("kll_textlen"),
+        bloom_merge(F.col("bloom_conv")).as("bloom_conv"))
+      .head()
+
+    val totalRows = finalRow.getLong(0)
+    val hllConv = HllSketch.deserialize(finalRow.getAs[Array[Byte]]("hll_conv"))
+    val hllTool = HllSketch.deserialize(finalRow.getAs[Array[Byte]]("hll_tool"))
+    val kll = KllSketch.deserialize(finalRow.getAs[Array[Byte]]("kll_textlen"))
+
+    Files.createDirectories(finalDir(c.out))
+    def dump(name: String, bytes: Array[Byte]): Unit =
+      Files.write(finalDir(c.out).resolve(name), bytes,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    dump("hll_conv.bin", finalRow.getAs[Array[Byte]]("hll_conv"))
+    dump("hll_tool.bin", finalRow.getAs[Array[Byte]]("hll_tool"))
+    dump("cms_roletool.bin", finalRow.getAs[Array[Byte]]("cms_roletool"))
+    dump("kll_textlen.bin", finalRow.getAs[Array[Byte]]("kll_textlen"))
+    dump("bloom_conv.bin", finalRow.getAs[Array[Byte]]("bloom_conv"))
+
+    val result = BuildResult(
+      processedParts = processed,
+      skippedParts = done.toSeq.sorted,
+      totalRows = totalRows,
+      estDistinctConvs = math.round(hllConv.estimate()),
+      estDistinctTools = math.round(hllTool.estimate()),
+      textLenP50 = kll.quantile(0.5),
+      textLenP99 = kll.quantile(0.99))
+
+    val summary =
+      s"""{"rows":$totalRows,"est_distinct_convs":${result.estDistinctConvs},
+         |"est_distinct_tools":${result.estDistinctTools},
+         |"textlen_p50":${result.textLenP50},"textlen_p99":${result.textLenP99},
+         |"parts_done":${nowDone.size},"parts_this_run":${processed.size}}"""
+        .stripMargin.replace("\n", "")
+    Files.write(finalDir(c.out).resolve("summary.json"), summary.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    result
+  }
+
+  /** Per-conversation quantiles with explicit two-level salting: level 1
+    * groups by (conv_id, salt) — splitting the Zipf hotspot conversation
+    * across `saltBuckets` reducers — level 2 unions the partial sketches
+    * per conv_id. Associative merge makes this byte-identical to the
+    * unsalted single-level aggregation; the test asserts exactly that. */
+  def perConvQuantiles(df: DataFrame, saltBuckets: Int, kllK: Int = 200): DataFrame = {
+    val salt = F.pmod(murmur64(F.concat_ws(":", F.col("conv_id"),
+      F.col("turn_idx").cast("string"))), F.lit(saltBuckets.toLong))
+    df.withColumn("salt", salt)
+      .groupBy(F.col("conv_id"), F.col("salt"))
+      .agg(kll_sketch(F.length(F.col("text")), kllK).as("partial"))
+      .groupBy(F.col("conv_id"))
+      .agg(kll_merge(F.col("partial")).as("kll"))
+      .select(F.col("conv_id"),
+        kll_quantile(F.col("kll"), F.lit(0.5)).as("len_p50"),
+        kll_quantile(F.col("kll"), F.lit(0.95)).as("len_p95"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val argMap = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val c = Config(
+      input = argMap("--input"),
+      out = argMap("--out"),
+      nParts = argMap.getOrElse("--parts", "32").toInt,
+      maxPartsPerRun = argMap.get("--max-parts").map(_.toInt))
+    val spark = JobSession.get("graft-sketch-build")
+    val r = run(spark, c)
+    // scalastyle:off println
+    println(s"processed=${r.processedParts.size} skipped=${r.skippedParts.size} " +
+      s"rows=${r.totalRows} convs~${r.estDistinctConvs} tools~${r.estDistinctTools} " +
+      s"len_p50=${r.textLenP50}")
+    // scalastyle:on println
+    spark.stop()
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.spark.agg.{BloomAgg, CmsAgg, HllAgg, KllAgg}
+import graft.spark.agg.{BloomAgg, BloomMergeAgg, CmsAgg, CmsMergeAgg, HllAgg, HllMergeAgg, KllAgg, KllMergeAgg}
 import graft.spark.expr._
 
 /** SQL registration for the engine: `spark.sql("SELECT graft_hash64(x)...")`.
@@ -72,6 +72,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(c) => KllAgg(c, 200).toAggregateExpression()
       case Seq(c, k) => KllAgg(c, litInt(k)).toAggregateExpression()
     })
+    register("bloom_merge", { case Seq(c) => BloomMergeAgg(c).toAggregateExpression() })
+    register("hll_merge", { case Seq(c) => HllMergeAgg(c).toAggregateExpression() })
+    register("cms_merge", { case Seq(c) => CmsMergeAgg(c).toAggregateExpression() })
+    register("kll_merge", { case Seq(c) => KllMergeAgg(c).toAggregateExpression() })
     register("bloom_might_contain", { case Seq(s, c) => BloomMightContain(s, c) })
     register("hll_estimate", { case Seq(s) => HllEstimate(s) })
     register("cms_estimate", { case Seq(s, c) => CmsEstimate(s, c) })

@@ -3,7 +3,7 @@ package graft.spark
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
-import graft.spark.agg.{BloomAgg, CmsAgg, HllAgg, KllAgg}
+import graft.spark.agg.{BloomAgg, BloomMergeAgg, CmsAgg, CmsMergeAgg, HllAgg, HllMergeAgg, KllAgg, KllMergeAgg}
 import graft.spark.expr._
 
 /** User-facing Column functions — the engine's public API surface,
@@ -52,6 +52,20 @@ object functions {
 
   def kll_sketch(c: Column, k: Int = 200): Column =
     column(KllAgg(expression(c), k).toAggregateExpression())
+
+  // ---- sketch unions (second level of two-level / salted aggregation) ----
+
+  def bloom_merge(c: Column): Column =
+    column(BloomMergeAgg(expression(c)).toAggregateExpression())
+
+  def hll_merge(c: Column): Column =
+    column(HllMergeAgg(expression(c)).toAggregateExpression())
+
+  def cms_merge(c: Column): Column =
+    column(CmsMergeAgg(expression(c)).toAggregateExpression())
+
+  def kll_merge(c: Column): Column =
+    column(KllMergeAgg(expression(c)).toAggregateExpression())
 
   // ---- sketch probes (scalar) ----
 
