@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 
+import graft.ops.{Dedup, Similarity, TextAnalysis}
 import graft.spark.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -89,6 +90,87 @@ object SparkEntry {
       // FPR ~0.62^16 (~ none at this scale) — rows-only checked
       orders.filter(bloom_might_contain(F.lit(sketch), F.col("o_orderkey")))
         .select(F.col("o_orderkey")).orderBy("o_orderkey")
+    }),
+
+    // ---- training-data ops over the documents/embeddings tables ----
+
+    // exact dedup with planted duplicates (doc_id+100000 copies): keeps
+    // the min id per distinct text — exact DuckDB oracle
+    "exact_dedup" -> ((s, dir) => {
+      val docs = read(s, dir, "documents").select(F.col("doc_id"), F.col("text"))
+      val doubled = docs.unionAll(
+        docs.select((F.col("doc_id") + 100000).as("doc_id"), F.col("text")))
+      Dedup.exactDedup(doubled, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // quality scoring: deterministic arithmetic, exact DuckDB oracle
+    "text_quality" -> ((s, dir) => {
+      TextAnalysis.qualityScore(read(s, dir, "documents"), "text")
+        .select(F.col("doc_id"), F.col("n_tokens").cast("long").as("n_tokens"),
+          F.col("avg_token_len"), F.col("punct_ratio"), F.col("alpha_ratio"),
+          F.col("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    // token budget counting: whitespace + subword-proxy, exact oracle
+    "token_counts" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      docs.select(F.col("doc_id"),
+        TextAnalysis.token_count(F.col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.subword_count(F.col("text")).cast("long").as("n_subwords"))
+        .orderBy("doc_id")
+    }),
+
+    // brute-force cosine top-k ANN baseline; ranks (not float scores) so
+    // the DuckDB oracle compares exactly
+    "similarity_topk" -> ((s, dir) => {
+      val embs = read(s, dir, "embeddings")
+      val queries = embs.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").as("query_id"), F.col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 10)
+        .select(F.col("query_id"), F.col("vec_id"), F.col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // near-dup detection suite: rows-only (LSH pipelines are not SQL-
+    // expressible); planted +100000 mutated copies guarantee rows>0, and
+    // OpsSpec asserts recall/precision with ground truth
+    "minhash_near_dups" -> ((s, dir) => {
+      val docs = read(s, dir, "documents").select(F.col("doc_id"), F.col("text"))
+      val mutated = docs.select((F.col("doc_id") + 100000).as("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailmarker")).as("text"))
+      Dedup.minhashLshPairs(docs.unionAll(mutated), "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "simhash_near_dups" -> ((s, dir) => {
+      val docs = read(s, dir, "documents").select(F.col("doc_id"), F.col("text"))
+      val mutated = docs.select((F.col("doc_id") + 100000).as("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailmarker")).as("text"))
+      Dedup.simhashPairs(docs.unionAll(mutated), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "embedding_near_dups" -> ((s, dir) => {
+      val embs = read(s, dir, "embeddings")
+      val jittered = embs.select((F.col("vec_id") + 100000).as("vec_id"),
+        F.transform(F.col("embedding"), x => x * F.lit(1.0001f)).as("embedding"))
+      Dedup.embeddingDupPairs(embs.select(F.col("vec_id"), F.col("embedding"))
+        .unionAll(jittered), "vec_id", "embedding", threshold = 0.999, srpBits = 12)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // per-document analysis projections: deterministic custom
+    // expressions, rows-only (pinned by OpsSpec goldens/properties)
+    "doc_text_analysis" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      docs.select(F.col("doc_id"),
+        TextAnalysis.lang_id(F.col("text")).as("lang_pred"),
+        TextAnalysis.simhash64(F.col("text")).as("simhash"),
+        TextAnalysis.fingerprint64(F.col("text")).as("fingerprint"))
+        .orderBy("doc_id")
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -101,5 +183,54 @@ object SparkEntry {
         |  count(*) AS n_rows
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "exact_dedup" ->
+      """SELECT min(doc_id) AS doc_id FROM (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |) GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    length(text) AS n_chars,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+        |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+        |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, n_tokens,
+        |    CASE WHEN n_tokens > 0 THEN round(n_chars::double / n_tokens, 4) ELSE 0.0 END AS avg_token_len,
+        |    CASE WHEN n_chars > 0 THEN round(punct::double / n_chars, 4) ELSE 0.0 END AS punct_ratio,
+        |    CASE WHEN n_chars > 0 THEN round(digits::double / n_chars, 4) ELSE 0.0 END AS digit_ratio,
+        |    CASE WHEN n_chars > 0 THEN round(alpha::double / n_chars, 4) ELSE 0.0 END AS alpha_ratio
+        |  FROM f
+        |)
+        |SELECT doc_id, n_tokens, avg_token_len, punct_ratio, alpha_ratio,
+        |  round((CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 0.4 ELSE 0.0 END)
+        |      + (CASE WHEN alpha_ratio >= 0.6 THEN 0.3 ELSE 0.0 END)
+        |      + (CASE WHEN punct_ratio <= 0.1 THEN 0.2 ELSE 0.0 END)
+        |      + (CASE WHEN digit_ratio <= 0.2 THEN 0.1 ELSE 0.0 END), 4) AS quality_score
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "token_counts" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |            w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))
+        |  END AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "similarity_topk" ->
+      """SELECT query_id, vec_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC, c.vec_id) AS rank
+        |  FROM embeddings c, embeddings q WHERE q.vec_id < 5
+        |) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
 }

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+import graft.core.hash.Murmur2Kernel
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (array<float>).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query
+  * set against the corpus, all arithmetic in built-in higher-order
+  * functions (zip_with/aggregate), no shuffle of the corpus at all; the
+  * only exchange is the final per-query top-k (a tiny windowed sort over
+  * candidates).
+  *
+  * Scale path: signed-random-projection (SRP) LSH — Charikar 2002.
+  * `srpSignature` packs the signs of `bits` random-hyperplane
+  * projections into a long; collision probability of two vectors at
+  * angle theta is (1 - theta/pi)^bits. Bucketing the corpus by signature
+  * (optionally with multiple tables) turns top-k into a bucket-local
+  * rerank. Hyperplanes are counter-mode murmur Gaussians — fully
+  * deterministic, no state to ship.
+  */
+object Similarity {
+
+  /** Exact cosine similarity of two float-array columns (double math). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = F.aggregate(F.zip_with(a, b, (x, y) => x * y),
+      F.lit(0.0), (acc, v) => acc + v)
+    val na = F.sqrt(F.aggregate(F.transform(a, x => x * x), F.lit(0.0), (acc, v) => acc + v))
+    val nb = F.sqrt(F.aggregate(F.transform(b, x => x * x), F.lit(0.0), (acc, v) => acc + v))
+    F.when(na === 0 || nb === 0, F.lit(0.0)).otherwise(dot / (na * nb))
+  }
+
+  /** Brute-force cosine top-k: for each query row, the k nearest corpus
+    * rows. Query side is broadcast (it is small by construction). */
+  def bruteForceTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int): DataFrame = {
+    val joined = corpus.crossJoin(
+      F.broadcast(queries.select(F.col(queryId), F.col(queryVec))))
+    val scored = joined.withColumn("cosine",
+      cosine(F.col(corpusVec), F.col(queryVec)))
+    val w = Window.partitionBy(F.col(queryId)).orderBy(F.col("cosine").desc, F.col(corpusId))
+    scored.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select(F.col(queryId), F.col(corpusId), F.col("rank"), F.col("cosine"))
+  }
+
+  /** Deterministic Gaussian hyperplane component for (bit, dim):
+    * Box-Muller over counter-mode murmur uniforms. */
+  private[ops] def gaussian(seed: Long, bit: Int, dim: Int): Double = {
+    val h1 = Murmur2Kernel.hash64Seeded(
+      graft.core.ByteOps.utf8(s"srp:$bit:$dim:a"), seed)
+    val h2 = Murmur2Kernel.hash64Seeded(
+      graft.core.ByteOps.utf8(s"srp:$bit:$dim:b"), seed)
+    val u1 = ((h1 >>> 11).toDouble + 0.5) / 9007199254740992.0 // (0,1)
+    val u2 = ((h2 >>> 11).toDouble + 0.5) / 9007199254740992.0
+    math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+  }
+
+  /** SRP signature as a long column (bits <= 63). Implemented as a
+    * deterministic Scala UDF over the vector; the hyperplane matrix is
+    * materialized once per executor via a lazy broadcast-free closure. */
+  def srpSignature(vec: Column, bits: Int = 16, seed: Long = 42L): Column = {
+    require(bits >= 1 && bits <= 63, s"bits must be in [1,63], got $bits")
+    val f = F.udf((v: Seq[Float]) => {
+      if (v == null) null
+      else {
+        val planes = SrpPlanes.get(seed, bits, v.length)
+        var sig = 0L
+        var b = 0
+        while (b < bits) {
+          var dot = 0.0
+          val row = planes(b)
+          var d = 0
+          while (d < v.length) { dot += row(d) * v(d); d += 1 }
+          if (dot >= 0) sig |= (1L << b)
+          b += 1
+        }
+        java.lang.Long.valueOf(sig)
+      }
+    })
+    f(vec)
+  }
+
+  /** LSH top-k: candidates share the query's SRP bucket in at least one
+    * of `tables` signature tables (rotated seeds), then exact cosine
+    * rerank within candidates. Recall rises with tables; cost stays
+    * bucket-local. */
+  def lshTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, bits: Int = 12, tables: Int = 4): DataFrame = {
+    def signatures(df: DataFrame, vecCol: String, as: String): DataFrame =
+      df.withColumn(as, F.array((0 until tables).map(t =>
+        srpSignature(F.col(vecCol), bits, 42L + t)): _*))
+        .withColumn("__table", F.explode(F.sequence(F.lit(0), F.lit(tables - 1))))
+        .withColumn("__bucket", F.element_at(F.col(as), F.col("__table") + 1))
+        .drop(as)
+
+    val c = signatures(corpus, corpusVec, "__sigs")
+      .select(F.col("__table"), F.col("__bucket"),
+        F.col(corpusId), F.col(corpusVec))
+    val q = signatures(F.broadcast(queries), queryVec, "__sigs")
+      .select(F.col("__table"), F.col("__bucket"),
+        F.col(queryId), F.col(queryVec))
+
+    val candidates = c.join(q, Seq("__table", "__bucket"))
+      .dropDuplicates(queryId, corpusId)
+      .withColumn("cosine", cosine(F.col(corpusVec), F.col(queryVec)))
+    val w = Window.partitionBy(F.col(queryId)).orderBy(F.col("cosine").desc, F.col(corpusId))
+    candidates.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select(F.col(queryId), F.col(corpusId), F.col("rank"), F.col("cosine"))
+  }
+}
+
+/** Per-JVM cache of SRP hyperplane matrices (seed, bits, dims) —
+  * regenerated deterministically on each executor, never shipped. */
+private[ops] object SrpPlanes {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Array[Double]]]()
+  def get(seed: Long, bits: Int, dims: Int): Array[Array[Double]] =
+    cache.computeIfAbsent((seed, bits, dims), { case (s, b, d) =>
+      Array.tabulate(b, d)((bit, dim) => Similarity.gaussian(s, bit, dim))
+    })
+}

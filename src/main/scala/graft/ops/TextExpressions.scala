@@ -1,0 +1,218 @@
+package graft.ops
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.ByteOps
+import graft.core.hash.Murmur2Kernel
+
+/** Text-analysis primitives for training-data pipelines, built on the
+  * engine's hash kernels. All are deterministic pure functions of the
+  * input string, so results are reproducible across runs, partitionings
+  * and cluster sizes.
+  */
+object TextOps {
+
+  @inline def tokens(s: String): Array[String] = {
+    val t = s.trim
+    if (t.isEmpty) Array.empty else t.split("\\s+")
+  }
+
+  /** 64-bit SimHash over murmur-hashed tokens: per-bit majority vote of
+    * token hashes (Charikar 2002). Near-duplicate texts land within a
+    * small Hamming distance. */
+  def simhash64(s: String): Long = {
+    val toks = tokens(s)
+    if (toks.isEmpty) return 0L
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = Murmur2Kernel.hash64(toks(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** k-min-hash signature over token shingles (Broder 1997): element i is
+    * the minimum of murmur64(shingle, seed=i) — the reference's
+    * seed-by-index multi-hash scheme applied to near-dup detection. */
+  def minhashSignature(s: String, numHashes: Int, shingleSize: Int): Array[Long] = {
+    val sh = shingles(s, shingleSize)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    sh.foreach { g =>
+      val bytes = ByteOps.utf8(g)
+      var i = 0
+      while (i < numHashes) {
+        val h = Murmur2Kernel.hash64Seeded(bytes, i.toLong)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  def shingles(s: String, size: Int): Set[String] = {
+    val toks = tokens(s)
+    if (toks.length < size) toks.toSet
+    else toks.sliding(size).map(_.mkString(" ")).toSet
+  }
+
+  /** Exact Jaccard similarity of token shingle sets. */
+  def jaccardShingles(a: String, b: String, size: Int): Double = {
+    val sa = shingles(a, size)
+    val sb = shingles(b, size)
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+  }
+
+  /** Rolling Karp-Rabin document fingerprint over normalized tokens:
+    * order-sensitive (unlike minhash), so it distinguishes permutations;
+    * stable under whitespace/case noise. */
+  def fingerprint(s: String): Long = {
+    val toks = tokens(s)
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < toks.length) {
+      h = h * 0x100000001b3L + Murmur2Kernel.hash64(toks(i).toLowerCase)
+      i += 1
+    }
+    h
+  }
+
+  // ---- language identification (trigram + stopword heuristic) ----
+
+  private val StopwordProfiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "of", "and", "to", "in", "is", "it", "that", "for", "was", "with", "are", "this", "you", "not"),
+    "fr" -> Set("le", "la", "les", "de", "des", "et", "un", "une", "est", "que", "pour", "dans", "qui", "pas", "sur"),
+    "es" -> Set("el", "la", "los", "las", "de", "y", "que", "en", "un", "una", "es", "por", "con", "para", "no"),
+    "de" -> Set("der", "die", "das", "und", "ist", "von", "mit", "nicht", "ein", "eine", "zu", "den", "auf", "fur", "sich"),
+    "it" -> Set("il", "la", "di", "e", "che", "un", "una", "per", "non", "sono", "con", "del", "le", "si", "da"))
+
+  /** Heuristic language ID: CJK scripts by code point; otherwise the
+    * stopword profile with the highest hit ratio; "und" when nothing
+    * scores. Cheap, deterministic, and honest about being a heuristic —
+    * a real pipeline would swap in a fastText-style model here. */
+  def langId(s: String): String = {
+    if (s.isEmpty) return "und"
+    var cjk = 0
+    var total = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!Character.isWhitespace(c)) {
+        total += 1
+        val block = Character.UnicodeScript.of(c.toInt)
+        if (block == Character.UnicodeScript.HAN) cjk += 1
+        else if (block == Character.UnicodeScript.HIRAGANA ||
+          block == Character.UnicodeScript.KATAKANA) return "ja"
+        else if (block == Character.UnicodeScript.HANGUL) return "ko"
+      }
+      i += 1
+    }
+    if (total > 0 && cjk.toDouble / total > 0.25) return "zh"
+    val toks = tokens(s.toLowerCase)
+    if (toks.isEmpty) return "und"
+    var best = "und"
+    var bestScore = 0.0
+    StopwordProfiles.foreach { case (lang, words) =>
+      val hits = toks.count(words.contains)
+      val score = hits.toDouble / toks.length
+      if (score > bestScore) { best = lang; bestScore = score }
+    }
+    if (bestScore >= 0.05) best else "und"
+  }
+}
+
+private[ops] trait StringInOps { self: Expression =>
+  protected final def checkStringIn(dt: DataType, pretty: String): TypeCheckResult = dt match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$pretty requires a string argument, got ${other.catalogString}")
+  }
+}
+
+/** `simhash64(text)` */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with StringInOps with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = checkStringIn(child.dataType, prettyName)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(v: Any): Any =
+    TextOps.simhash64(v.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** `minhash_sig(text, numHashes, shingleSize)` -> array<long>; the two
+  * size arguments must be foldable ints. */
+case class MinHashSig(child: Expression, numHashes: Int, shingleSize: Int)
+    extends UnaryExpression with StringInOps with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (numHashes < 1 || shingleSize < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName sizes must be >= 1")
+    else checkStringIn(child.dataType, prettyName)
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      TextOps.minhashSignature(v.asInstanceOf[UTF8String].toString, numHashes, shingleSize))
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** `fingerprint64(text)` — rolling Karp-Rabin token fingerprint. */
+case class Fingerprint64(child: Expression)
+    extends UnaryExpression with StringInOps with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = checkStringIn(child.dataType, prettyName)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "fingerprint64"
+  override protected def nullSafeEval(v: Any): Any =
+    TextOps.fingerprint(v.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): Fingerprint64 = copy(child = c)
+}
+
+/** `lang_id(text)` — heuristic language code. */
+case class LangId(child: Expression)
+    extends UnaryExpression with StringInOps with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = checkStringIn(child.dataType, prettyName)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lang_id"
+  override protected def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(TextOps.langId(v.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(c: Expression): LangId = copy(child = c)
+}
+
+/** `jaccard_shingles(a, b, size)` — exact token-shingle Jaccard. */
+case class JaccardShingles(left: Expression, right: Expression, shingleSize: Int)
+    extends BinaryExpression with StringInOps with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val f = checkStringIn(left.dataType, prettyName)
+    if (f.isFailure) f else checkStringIn(right.dataType, prettyName)
+  }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "jaccard_shingles"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextOps.jaccardShingles(a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString, shingleSize)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardShingles =
+    copy(left = l, right = r)
+}

@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.spark.SparkTestBase
+
+/** Tests for the training-data ops: dedup (exact / MinHash-LSH / SimHash /
+  * embedding), similarity search (brute force + SRP-LSH recall), and text
+  * analysis, over the driver's documents/embeddings tables plus planted
+  * duplicates with known ground truth.
+  */
+class OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet").cache()
+  private lazy val embs = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+
+  test("TextOps units: simhash locality, minhash accuracy, fingerprint order-sensitivity") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    val c = "completely unrelated content about database query optimization plans"
+    val hAB = java.lang.Long.bitCount(TextOps.simhash64(a) ^ TextOps.simhash64(b))
+    val hAC = java.lang.Long.bitCount(TextOps.simhash64(a) ^ TextOps.simhash64(c))
+    assert(hAB < hAC, s"simhash locality: near=$hAB far=$hAC")
+    assert(hAB <= 12)
+
+    // minhash signature agreement estimates jaccard
+    val sa = TextOps.minhashSignature(a, 256, 2)
+    val sb = TextOps.minhashSignature(b, 256, 2)
+    val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / 256
+    val exact = TextOps.jaccardShingles(a, b, 2)
+    assert(math.abs(est - exact) <= 0.15, s"minhash est=$est exact=$exact")
+
+    // fingerprint: sensitive to order, insensitive to case/whitespace
+    assert(TextOps.fingerprint("hello world") !== TextOps.fingerprint("world hello"))
+    assert(TextOps.fingerprint("Hello   World") === TextOps.fingerprint("hello world"))
+  }
+
+  test("langId identifies real-language samples and CJK scripts") {
+    assert(TextOps.langId("the cat sat on the mat and it was happy that day") === "en")
+    assert(TextOps.langId("le chat est sur la table et il est dans la maison pour le moment") === "fr")
+    assert(TextOps.langId("el gato es muy bonito y la casa es grande por los arboles") === "es")
+    assert(TextOps.langId("der Hund ist nicht mit der Katze und das ist ein Problem") === "de")
+    assert(TextOps.langId("这是一个中文句子用来测试语言识别") === "zh")
+    assert(TextOps.langId("これは日本語のテストです") === "ja")
+    assert(TextOps.langId("") === "und")
+    assert(TextOps.langId("xk7 qq9 zz3") === "und")
+  }
+
+  test("exact dedup: planted duplicates collapse to min id") {
+    val doubled = docs.select($"doc_id", $"text")
+      .unionAll(docs.select(($"doc_id" + 10000).as("doc_id"), $"text"))
+    val kept = Dedup.exactDedup(doubled, "doc_id", "text")
+    assert(kept.count() === docs.count())
+    assert(kept.agg(F.max("doc_id")).head().getLong(0) < 10000, "must keep the smaller id")
+    val losers = Dedup.exactDupLosers(doubled, "doc_id", "text")
+    assert(losers.count() === docs.count())
+    assert(losers.filter($"dup_id" =!= $"kept_id" + 10000).count() === 0)
+  }
+
+  test("minhash LSH finds planted near-duplicates, not unrelated pairs") {
+    // plant: copy of each doc with ~1 token in 20 changed (high jaccard)
+    val mutated = docs.select(($"doc_id" + 10000).as("doc_id"),
+      F.concat($"text", F.lit(" zzextra")).as("text"))
+    val corpus = docs.select($"doc_id", $"text").unionAll(mutated).cache()
+    val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.5).cache()
+    val planted = pairs.filter($"id_b" === $"id_a" + 10000).count()
+    assert(planted >= docs.count() * 0.9,
+      s"found $planted of ${docs.count()} planted near-dups")
+    // verified jaccard must actually be high for reported pairs
+    assert(pairs.filter($"jaccard" < 0.5).count() === 0)
+  }
+
+  test("simhash pairs find planted near-duplicates with small hamming") {
+    val mutated = docs.select(($"doc_id" + 10000).as("doc_id"),
+      F.concat($"text", F.lit(" zzextra")).as("text"))
+    val corpus = docs.select($"doc_id", $"text").unionAll(mutated)
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3).cache()
+    val planted = pairs.filter($"id_b" === $"id_a" + 10000).count()
+    // the one-token mutation flips >3 signature bits on short docs, so
+    // not every planted pair is within the radius — but banding (4x16 of
+    // 64 bits) provably reaches EVERY pair with hamming <= 3 (3 flips
+    // cannot touch all 4 bands), so found == (planted with hamming <= 3)
+    assert(planted >= docs.count() * 0.6, s"found $planted planted simhash dups")
+    // completeness at the radius: recompute hamming locally and compare
+    val sims = corpus.select($"doc_id", TextAnalysis.simhash64($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val withinRadius = sims.keys.filter(_ < 10000).count { id =>
+      sims.contains(id + 10000) &&
+        java.lang.Long.bitCount(sims(id) ^ sims(id + 10000)) <= 3
+    }
+    assert(planted === withinRadius.toLong,
+      s"banding must find exactly the pairs within the radius: $planted vs $withinRadius")
+  }
+
+  test("embedding dup pairs: planted near-identical vectors found via SRP buckets") {
+    val jitter = F.transform($"embedding", x => x * F.lit(1.0001f))
+    val mutated = embs.select(($"vec_id" + 10000).as("vec_id"), jitter.as("embedding"))
+    val corpus = embs.select($"vec_id", $"embedding").unionAll(mutated)
+    val pairs = Dedup.embeddingDupPairs(corpus, "vec_id", "embedding",
+      threshold = 0.999, srpBits = 12).cache()
+    val planted = pairs.filter($"id_b" === $"id_a" + 10000).count()
+    assert(planted >= embs.count() * 0.95, s"found $planted of ${embs.count()}")
+    assert(pairs.filter($"cosine" < 0.999).count() === 0)
+  }
+
+  test("brute-force cosine top-k matches local exact computation") {
+    val queries = embs.filter($"vec_id" < 3)
+    val got = Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+      queries.select($"vec_id".as("query_id"), $"embedding".as("qvec")),
+      "query_id", "qvec", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    // local ground truth
+    val local = embs.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = (0L until 3L).flatMap { q =>
+      val qv = local.find(_._1 == q).get._2
+      local.map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, _), i) => (q, id, i + 1) }
+    }.toSet
+    assert(got === expect)
+  }
+
+  test("LSH top-k retrieves true near neighbors (SRP's actual promise)") {
+    // SRP-LSH recall depends on the angle: for random near-orthogonal
+    // vectors it degenerates (as theory says), so the meaningful test is
+    // retrieval of genuinely close neighbors — jittered copies of corpus
+    // vectors must come back as the top-1 hit.
+    val jitter = F.transform($"embedding", x => x * F.lit(1.0003f))
+    val queries = embs.filter($"vec_id" < 30)
+      .select(($"vec_id" + 10000).as("query_id"), jitter.as("qvec"))
+    val hits = Similarity.lshTopK(embs, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 1, bits = 12, tables = 4)
+      .filter($"vec_id" === $"query_id" - 10000)
+      .count()
+    assert(hits >= 27, s"LSH self-retrieval found $hits of 30")
+  }
+
+  test("quality features and token counts are exact arithmetic") {
+    val row = TextAnalysis.qualityScore(
+      Seq((1L, "Hello, world! This is a clean sentence with nine words.")).toDF("doc_id", "text"),
+      "text").head()
+    assert(row.getAs[Int]("n_tokens") === 10)
+    assert(row.getAs[Double]("quality_score") === 1.0)
+    val junk = TextAnalysis.qualityScore(
+      Seq((2L, "1234 5678 !!!! ???? 000")).toDF("doc_id", "text"), "text").head()
+    assert(junk.getAs[Double]("quality_score") < 0.5)
+    // token_count edge cases
+    val tc = Seq("", "  ", "one", " a  b ").toDF("t")
+      .select(TextAnalysis.token_count($"t")).collect().map(_.getInt(0))
+    assert(tc.toSeq === Seq(0, 0, 1, 2))
+  }
+}
