@@ -48,6 +48,18 @@ abstract class FnvKernelBase extends HashKernel64 {
     }
     out
   }
+
+  override def hash64Into(data: Array[Byte], k: Int, out: Array[Long]): Unit = {
+    var last = Init64
+    var i = 0
+    while (i < k) { last = hash64Seeded(data, last); out(i) = last; i += 1 }
+  }
+
+  override def hash32Into(data: Array[Byte], k: Int, out: Array[Int]): Unit = {
+    var last = Init32
+    var i = 0
+    while (i < k) { last = hash32Seeded(data, last); out(i) = last; i += 1 }
+  }
 }
 
 object Fnv1Kernel extends FnvKernelBase {

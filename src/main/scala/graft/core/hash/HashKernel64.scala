@@ -26,6 +26,20 @@ trait HashKernel64 extends Serializable {
   /** k-vector of 32-bit codes; scheme is algorithm-specific. */
   def hash32K(data: Array[Byte], k: Int): Array[Int]
 
+  /** Fill `out(0 until k)` with the k-vector without allocating — the
+    * per-row hot path for sketch updates (buffers pass a reused scratch
+    * array). Default delegates to hash64K; kernels override. */
+  def hash64Into(data: Array[Byte], k: Int, out: Array[Long]): Unit = {
+    val v = hash64K(data, k)
+    System.arraycopy(v, 0, out, 0, k)
+  }
+
+  /** 32-bit variant of hash64Into. */
+  def hash32Into(data: Array[Byte], k: Int, out: Array[Int]): Unit = {
+    val v = hash32K(data, k)
+    System.arraycopy(v, 0, out, 0, k)
+  }
+
   final def hash64(s: String): Long = hash64(ByteOps.utf8(s))
   final def hash32(s: String): Int = hash32(ByteOps.utf8(s))
   final def hash64K(s: String, k: Int): Array[Long] = hash64K(ByteOps.utf8(s), k)

@@ -119,4 +119,16 @@ object HsiehKernel extends HashKernel64 {
     }
     out
   }
+
+  override def hash64Into(data: Array[Byte], k: Int, out: Array[Long]): Unit = {
+    var last = data.length.toLong
+    var i = 0
+    while (i < k) { last = hash64Seeded(data, last); out(i) = last; i += 1 }
+  }
+
+  override def hash32Into(data: Array[Byte], k: Int, out: Array[Int]): Unit = {
+    var last = data.length
+    var i = 0
+    while (i < k) { last = hash32Seeded(data, last); out(i) = last; i += 1 }
+  }
 }

@@ -22,23 +22,6 @@ object JenkinsKernel extends HashKernel64 {
 
   override def name: String = "jenkins"
 
-  @inline private def mix64(a0: Long, b0: Long, c0: Long): (Long, Long, Long) = {
-    var a = a0; var b = b0; var c = c0
-    a -= b; a -= c; a ^= c >> 43
-    b -= c; b -= a; b ^= a << 9
-    c -= a; c -= b; c ^= b >> 8
-    a -= b; a -= c; a ^= c >> 38
-    b -= c; b -= a; b ^= a << 23
-    c -= a; c -= b; c ^= b >> 5
-    a -= b; a -= c; a ^= c >> 35
-    b -= c; b -= a; b ^= a << 49
-    c -= a; c -= b; c ^= b >> 11
-    a -= b; a -= c; a ^= c >> 12
-    b -= c; b -= a; b ^= a << 18
-    c -= a; c -= b; c ^= b >> 22
-    (a, b, c)
-  }
-
   def hash64Seeded(data: Array[Byte], level: Long): Long = {
     var a = level
     var b = level
@@ -49,8 +32,19 @@ object JenkinsKernel extends HashKernel64 {
       a += gatherLongLE(data, i)
       b += gatherLongLE(data, i + 8)
       c += gatherLongLE(data, i + 16)
-      val m = mix64(a, b, c)
-      a = m._1; b = m._2; c = m._3
+      // 12-step lookup8 mix64, inlined (no tuple allocation in the hot loop)
+      a -= b; a -= c; a ^= c >> 43
+      b -= c; b -= a; b ^= a << 9
+      c -= a; c -= b; c ^= b >> 8
+      a -= b; a -= c; a ^= c >> 38
+      b -= c; b -= a; b ^= a << 23
+      c -= a; c -= b; c ^= b >> 5
+      a -= b; a -= c; a ^= c >> 35
+      b -= c; b -= a; b ^= a << 49
+      c -= a; c -= b; c ^= b >> 11
+      a -= b; a -= c; a ^= c >> 12
+      b -= c; b -= a; b ^= a << 18
+      c -= a; c -= b; c ^= b >> 22
       i += 24
       len -= 24
     }
@@ -68,7 +62,19 @@ object JenkinsKernel extends HashKernel64 {
         a += gatherPartialLongLE(data, i, len)
       }
     }
-    mix64(a, b, c)._3
+    a -= b; a -= c; a ^= c >> 43
+    b -= c; b -= a; b ^= a << 9
+    c -= a; c -= b; c ^= b >> 8
+    a -= b; a -= c; a ^= c >> 38
+    b -= c; b -= a; b ^= a << 23
+    c -= a; c -= b; c ^= b >> 5
+    a -= b; a -= c; a ^= c >> 35
+    b -= c; b -= a; b ^= a << 49
+    c -= a; c -= b; c ^= b >> 11
+    a -= b; a -= c; a ^= c >> 12
+    b -= c; b -= a; b ^= a << 18
+    c -= a; c -= b; c ^= b >> 22
+    c
   }
 
   def hash32Seeded(data: Array[Byte], level: Int): Int = {
@@ -127,5 +133,15 @@ object JenkinsKernel extends HashKernel64 {
   override def hash32K(data: Array[Byte], k: Int): Array[Int] = {
     requireK(k)
     Array.tabulate(k)(i => hash32Seeded(data, i))
+  }
+
+  override def hash64Into(data: Array[Byte], k: Int, out: Array[Long]): Unit = {
+    var i = 0
+    while (i < k) { out(i) = hash64Seeded(data, i.toLong); i += 1 }
+  }
+
+  override def hash32Into(data: Array[Byte], k: Int, out: Array[Int]): Unit = {
+    var i = 0
+    while (i < k) { out(i) = hash32Seeded(data, i); i += 1 }
   }
 }

@@ -86,4 +86,14 @@ object Murmur2Kernel extends HashKernel64 {
     requireK(k)
     Array.tabulate(k)(i => hash32Seeded(data, i))
   }
+
+  override def hash64Into(data: Array[Byte], k: Int, out: Array[Long]): Unit = {
+    var i = 0
+    while (i < k) { out(i) = hash64Seeded(data, i.toLong); i += 1 }
+  }
+
+  override def hash32Into(data: Array[Byte], k: Int, out: Array[Int]): Unit = {
+    var i = 0
+    while (i < k) { out(i) = hash32Seeded(data, i); i += 1 }
+  }
 }

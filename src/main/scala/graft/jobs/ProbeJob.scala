@@ -23,15 +23,54 @@ object ProbeJob {
     df.filter(if (reverse) !pred else pred)
   }
 
+  /** Probe a SketchBuildJob Bloom BANK: per-part filters from
+    * `<buildOut>/parts`, routed by the same content hash that
+    * partitioned the build (`part_id = murmur64(key) mod nParts`). The
+    * bank (nParts rows) is collected and broadcast; each executor lazily
+    * deserializes each part's filter once. Scale shape: probe cost is a
+    * scan + O(1) lookup per row; bank memory is O(distinct/parts *
+    * bitsPerItem * nParts / 8) — independent of corpus row count. */
+  def probeBank(spark: SparkSession, df: DataFrame, buildOut: String,
+      keyCol: String, reverse: Boolean = false): DataFrame = {
+    import graft.data.TranscriptTable.PartCol
+    val bankRows = spark.read.parquet(s"$buildOut/parts")
+      .select(F.col(PartCol), F.col("bloom_conv")).collect()
+    val nParts = bankRows.length
+    require(nParts > 0, s"empty bloom bank at $buildOut/parts")
+    val bank = bankRows.map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    val bankBc = spark.sparkContext.broadcast(bank)
+    val contains = F.udf((part: Int, key: String) =>
+      if (key == null) false
+      else BankCache.get(bankBc.value, part).contains(key))
+    val part = F.pmod(graft.spark.functions.murmur64(F.col(keyCol)),
+      F.lit(nParts.toLong)).cast("int")
+    val pred = contains(part, F.col(keyCol))
+    df.filter(if (reverse) !pred else pred)
+  }
+
   def main(args: Array[String]): Unit = {
     val argMap = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
     val spark = JobSession.get("graft-probe")
     val df = spark.read.parquet(argMap("--input"))
-    probe(df, argMap("--sketch"), argMap("--key"),
-      argMap.get("--reverse").exists(_.toBoolean))
-      .write.mode("overwrite").parquet(argMap("--out"))
+    val reverse = argMap.get("--reverse").exists(_.toBoolean)
+    val filtered = argMap.get("--bank") match {
+      case Some(buildOut) => probeBank(spark, df, buildOut, argMap("--key"), reverse)
+      case None => probe(df, argMap("--sketch"), argMap("--key"), reverse)
+    }
+    filtered.write.mode("overwrite").parquet(argMap("--out"))
     spark.stop()
   }
+}
+
+/** Per-executor deserialized-filter cache for Bloom-bank probes: each
+  * part's filter is deserialized at most once per JVM. */
+private[jobs] object BankCache {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), graft.sketch.BloomSketch]()
+
+  def get(bank: Map[Int, Array[Byte]], part: Int): graft.sketch.BloomSketch =
+    cache.computeIfAbsent((System.identityHashCode(bank), part),
+      _ => graft.sketch.BloomSketch.deserialize(bank(part)))
 }
 
 /** Full-scan dump in stable order — the `dumphf` analog

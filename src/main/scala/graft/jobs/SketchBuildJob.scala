@@ -45,7 +45,12 @@ object SketchBuildJob {
       cmsDepth: Int = 5,
       cmsWidth: Int = 1 << 14,
       kllK: Int = 200,
-      bloomMaxSize: Long = 1 << 20,
+      /** PER-PART Bloom capacity — the bank design: each part's filter is
+        * sized for its own conv population and probed by routing on
+        * part_id, never OR-merged into one global-capacity filter (at
+        * 10^12 rows a global filter is petabytes; a bank is O(distinct/
+        * parts) per unit and the router is a hash). */
+      bloomPerPartCapacity: Long = 1 << 16,
       bloomBpi: Int = 16,
       /** cap on parts processed in one run (incremental operation /
         * kill-resume testing); None = all pending */
@@ -86,7 +91,7 @@ object SketchBuildJob {
         hll_sketch(F.col("tool"), c.hllP).as("hll_tool"),
         cms_sketch(roleTool, c.cmsDepth, c.cmsWidth).as("cms_roletool"),
         kll_sketch(F.length(F.col("text")), c.kllK).as("kll_textlen"),
-        bloom_sketch(F.col("conv_id"), c.bloomMaxSize, c.bloomBpi).as("bloom_conv"))
+        bloom_sketch(F.col("conv_id"), c.bloomPerPartCapacity, c.bloomBpi).as("bloom_conv"))
   }
 
   def run(spark: SparkSession, c: Config): BuildResult = {
@@ -143,8 +148,7 @@ object SketchBuildJob {
         hll_merge(F.col("hll_conv")).as("hll_conv"),
         hll_merge(F.col("hll_tool")).as("hll_tool"),
         cms_merge(F.col("cms_roletool")).as("cms_roletool"),
-        kll_merge(F.col("kll_textlen")).as("kll_textlen"),
-        bloom_merge(F.col("bloom_conv")).as("bloom_conv"))
+        kll_merge(F.col("kll_textlen")).as("kll_textlen"))
       .head()
 
     val totalRows = finalRow.getLong(0)
@@ -160,7 +164,8 @@ object SketchBuildJob {
     dump("hll_tool.bin", finalRow.getAs[Array[Byte]]("hll_tool"))
     dump("cms_roletool.bin", finalRow.getAs[Array[Byte]]("cms_roletool"))
     dump("kll_textlen.bin", finalRow.getAs[Array[Byte]]("kll_textlen"))
-    dump("bloom_conv.bin", finalRow.getAs[Array[Byte]]("bloom_conv"))
+    // the Bloom bank stays in parts/ (one filter per part, routed probes
+    // via ProbeJob.probeBank) — deliberately NOT OR-merged
 
     val result = BuildResult(
       processedParts = processed,

@@ -57,6 +57,12 @@ final class BloomSketch private (
   @inline private def setBit(radix: Int, pos: Int): Unit =
     words(radix * wordsPerSet + (pos >>> 6)) |= (1L << pos)
 
+  // reused per-instance scratch for the k-vector: sketch buffers are
+  // single-threaded inside an aggregation, so this is safe and removes
+  // the per-row array allocation from the hot path
+  @transient private lazy val scratch64 = new Array[Long](k)
+  @transient private lazy val scratch32 = new Array[Int](k)
+
   def put(data: Array[Byte]): Unit = putIfAbsent(data)
   def put(s: String): Unit = putIfAbsent(ByteOps.utf8(s))
   def putIfAbsent(s: String): Boolean = putIfAbsent(ByteOps.utf8(s))
@@ -65,7 +71,8 @@ final class BloomSketch private (
   def putIfAbsent(data: Array[Byte]): Boolean = {
     var newlyInserted = false
     if (longHash) {
-      val codes = kernel.hash64K(data, k)
+      val codes = scratch64
+      kernel.hash64Into(data, k, codes)
       var i = 0
       while (i < k) {
         val code = codes(i)
@@ -75,7 +82,8 @@ final class BloomSketch private (
         i += 1
       }
     } else {
-      val codes = kernel.hash32K(data, k)
+      val codes = scratch32
+      kernel.hash32Into(data, k, codes)
       var i = 0
       while (i < k) {
         val code = codes(i)
@@ -92,7 +100,8 @@ final class BloomSketch private (
 
   def contains(data: Array[Byte]): Boolean = {
     if (longHash) {
-      val codes = kernel.hash64K(data, k)
+      val codes = scratch64
+      kernel.hash64Into(data, k, codes)
       var i = 0
       while (i < k) {
         val code = codes(i)
@@ -100,7 +109,8 @@ final class BloomSketch private (
         i += 1
       }
     } else {
-      val codes = kernel.hash32K(data, k)
+      val codes = scratch32
+      kernel.hash32Into(data, k, codes)
       var i = 0
       while (i < k) {
         val code = codes(i)

@@ -31,8 +31,12 @@ final class CmsSketch private (
     row * width + (if (idx < 0) idx + width else idx)
   }
 
+  // reused scratch: single-threaded buffer, removes per-row allocation
+  @transient private lazy val scratch = new Array[Long](depth)
+
   def update(data: Array[Byte], count: Long = 1L): Unit = {
-    val codes = kernel.hash64K(data, depth)
+    val codes = scratch
+    kernel.hash64Into(data, depth, codes)
     var i = 0
     while (i < depth) {
       counters(slot(i, codes(i))) += count
@@ -44,7 +48,8 @@ final class CmsSketch private (
   def update(s: String): Unit = update(ByteOps.utf8(s), 1L)
 
   def estimate(data: Array[Byte]): Long = {
-    val codes = kernel.hash64K(data, depth)
+    val codes = scratch
+    kernel.hash64Into(data, depth, codes)
     var min = Long.MaxValue
     var i = 0
     while (i < depth) {

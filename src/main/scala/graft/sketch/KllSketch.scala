@@ -45,32 +45,13 @@ final class KllSketch private (
     math.max(2, math.ceil(k * math.pow(C, depth.toDouble)).toInt)
   }
 
-  def update(v: Double): Unit = {
-    levels.head += v
-    nTotal += 1
-    // total capacity across levels is >= k, so below k items nothing can
-    // be over — keeps the common update path O(1)
-    if (itemCount() >= k) compress()
-  }
+  // cached item count and total capacity: the update hot path must be
+  // O(1) — recomputing these per row made updates O(levels^2) (found by
+  // stack sampling; see BENCH.md history)
+  @transient private var itemCnt: Int = -1
+  @transient private var capTotal: Int = -1
 
-  @inline private def itemCount(): Int = {
-    var total = 0
-    var h = 0
-    while (h < levels.length) { total += levels(h).length; h += 1 }
-    total
-  }
-
-  private def compress(): Unit = {
-    var h = 0
-    while (h < levels.length) {
-      if (levels(h).length >= capacity(h) && totalOver()) {
-        compactLevel(h)
-      }
-      h += 1
-    }
-  }
-
-  private def totalOver(): Boolean = {
+  @inline private def refreshCounts(): Unit = {
     var total = 0
     var cap = 0
     var h = 0
@@ -79,7 +60,29 @@ final class KllSketch private (
       cap += capacity(h)
       h += 1
     }
-    total >= cap
+    itemCnt = total
+    capTotal = cap
+  }
+
+  def update(v: Double): Unit = {
+    // capTotal >= 2 whenever counts are fresh; 0 covers the transient
+    // default after plain-JVM deserialization, -1 the pre-init state
+    if (capTotal <= 0) refreshCounts()
+    levels.head += v
+    nTotal += 1
+    itemCnt += 1
+    if (itemCnt >= capTotal) compress()
+  }
+
+  private def compress(): Unit = {
+    var h = 0
+    while (h < levels.length) {
+      if (levels(h).length >= capacity(h) && itemCnt >= capTotal) {
+        compactLevel(h)
+        refreshCounts() // levels may have grown; capacities shift with depth
+      }
+      h += 1
+    }
   }
 
   private def compactLevel(h: Int): Unit = {
@@ -113,6 +116,7 @@ final class KllSketch private (
     }
     nTotal += other.nTotal
     rngState ^= other.rngState | 1L
+    refreshCounts()
     compress()
     this
   }

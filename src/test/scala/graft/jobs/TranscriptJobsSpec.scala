@@ -91,7 +91,7 @@ class TranscriptJobsSpec extends SparkTestBase {
     assert(r2.skippedParts.toSet === r1.processedParts.map(_.partId).toSet)
     assert(SketchBuildJob.completedParts(outResume).size === nParts)
     // final merged sketches byte-identical to the uninterrupted run
-    for (f <- Seq("hll_conv.bin", "hll_tool.bin", "cms_roletool.bin", "bloom_conv.bin")) {
+    for (f <- Seq("hll_conv.bin", "hll_tool.bin", "cms_roletool.bin", "kll_textlen.bin")) {
       val a = Files.readAllBytes(java.nio.file.Paths.get(outFull, "final", f))
       val b = Files.readAllBytes(java.nio.file.Paths.get(outResume, "final", f))
       assert(java.util.Arrays.equals(a, b), s"final $f differs after resume")
@@ -140,12 +140,12 @@ class TranscriptJobsSpec extends SparkTestBase {
     val out = s"$workDir/build_probe"
     SketchBuildJob.run(spark, SketchBuildJob.Config(tablePath, out, nParts))
     val df = TranscriptTable.read(spark, tablePath)
-    val members = ProbeJob.probe(df.select("conv_id").distinct(),
-      s"$out/final/bloom_conv.bin", "conv_id").count()
+    val members = ProbeJob.probeBank(spark, df.select("conv_id").distinct(),
+      out, "conv_id").count()
     assert(members === nConvs, "every real conv_id must pass the filter")
     // reverse filter over a disjoint probe set: everything passes (definitely-absent)
     val foreign = (0 until 500).map(i => s"other-$i").toDF("conv_id")
-    val absent = ProbeJob.probe(foreign, s"$out/final/bloom_conv.bin", "conv_id",
+    val absent = ProbeJob.probeBank(spark, foreign, out, "conv_id",
       reverse = true).count()
     assert(absent >= 495, s"reverse filter kept $absent of 500 non-members")
   }

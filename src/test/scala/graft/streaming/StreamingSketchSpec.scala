@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.data.{TranscriptGen, TranscriptTable}
+import graft.sketch.HllSketch
+import graft.spark.SparkTestBase
+import graft.spark.functions._
+
+/** Structured Streaming support: the sketch aggregates are ordinary
+  * Catalyst aggregate functions with serializable buffers, so they drop
+  * into streaming groupBy aggregations unchanged — the state store
+  * persists the serialized sketch between micro-batches. The reference
+  * has no streaming layer; this is the engine's Spark-native extension
+  * (SURVEY.md §7, optional stretch).
+  */
+class StreamingSketchSpec extends SparkTestBase {
+
+  test("hll/kll sketch aggregation over a file-source stream matches batch") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val data = s"$dir/in"
+    TranscriptTable.write(TranscriptGen.generate(spark, 42L, 100), data, 4)
+
+    val schema = spark.read.parquet(data).schema
+    val stream = spark.readStream.schema(schema).parquet(data)
+    val agg = stream.groupBy(F.col("role"))
+      .agg(hll_sketch(F.col("conv_id"), 12).as("hll"),
+        kll_sketch(F.length(F.col("text")), 200).as("kll"))
+      .select(F.col("role"), hll_estimate(F.col("hll")).as("convs"),
+        kll_quantile(F.col("kll"), F.lit(0.5)).as("len_p50"))
+
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName("stream_sketches")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM stream_sketches")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+      val batch = spark.read.parquet(data).groupBy(F.col("role"))
+        .agg(hll_sketch(F.col("conv_id"), 12).as("hll"),
+          kll_sketch(F.length(F.col("text")), 200).as("kll"))
+        .select(F.col("role"), hll_estimate(F.col("hll")).as("convs"),
+          kll_quantile(F.col("kll"), F.lit(0.5)).as("len_p50"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+      assert(streamed.keySet === batch.keySet)
+      streamed.foreach { case (role, (convs, p50)) =>
+        val (bConvs, bP50) = batch(role)
+        // HLL estimates are identical (same registers); KLL within bound
+        // (state-store merge order differs from batch partial order)
+        assert(convs === bConvs, s"role=$role hll streamed=$convs batch=$bConvs")
+        assert(math.abs(p50 - bP50) / math.max(1.0, bP50) <= 0.1,
+          s"role=$role kll p50 streamed=$p50 batch=$bP50")
+      }
+      // accuracy vs exact ground truth
+      val exact = spark.read.parquet(data).groupBy("role")
+        .agg(F.countDistinct("conv_id").as("exact"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      streamed.foreach { case (role, (convs, _)) =>
+        val e = exact(role)
+        assert(math.abs(convs - e).toDouble / e <= 3 * HllSketch.standardError(12))
+      }
+    } finally q.stop()
+  }
+
+  test("windowed streaming aggregation with watermark accepts sketch aggregates") {
+    val dir = Files.createTempDirectory("graft-stream-w").toString
+    val data = s"$dir/in"
+    TranscriptTable.write(TranscriptGen.generate(spark, 7L, 50), data, 2)
+    val schema = spark.read.parquet(data).schema
+    val stream = spark.readStream.schema(schema).parquet(data)
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(F.window(F.col("ts"), "6 hours"), F.col("role"))
+      .agg(hll_sketch(F.col("conv_id"), 12).as("hll"))
+      .select(F.col("window.start").as("w"), F.col("role"),
+        hll_estimate(F.col("hll")).as("convs"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName("stream_windows")
+      .start()
+    try {
+      q.processAllAvailable()
+      // append mode emits only closed windows; with a bounded input the
+      // final windows stay open, so just assert the query runs and the
+      // state machinery accepted the sketch aggregate
+      assert(q.lastProgress != null)
+    } finally q.stop()
+  }
+}
