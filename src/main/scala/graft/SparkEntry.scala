@@ -92,6 +92,37 @@ object SparkEntry {
         .select(F.col("o_orderkey")).orderBy("o_orderkey")
     }),
 
+    // ---- HashFile lookup analogs (SURVEY.md §2.3): lookups become
+    // broadcast joins; lineitem is the multimap (key = l_orderkey,
+    // insertion order = l_linenumber, the reference's duplicate-key
+    // ordering contract, RigorousHashFileTestBase.java:74-90) ----
+
+    // get(key): first value per key, keys probed from a small set
+    "kv_get_first" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val probeKeys = read(s, dir, "orders")
+        .filter(F.col("o_orderstatus") === "P")
+        .select(F.col("o_orderkey").as("l_orderkey"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_orderkey").orderBy("l_linenumber")
+      li.join(F.broadcast(probeKeys), "l_orderkey")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") === 1)
+        .select(F.col("l_orderkey"), F.col("l_partkey"), F.col("l_quantity"))
+        .orderBy("l_orderkey")
+    }),
+
+    // getMulti(key): all values per probed key, in insertion order
+    "kv_multi_get" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val probeKeys = read(s, dir, "orders")
+        .filter(F.col("o_orderstatus") === "P")
+        .select(F.col("o_orderkey").as("l_orderkey"))
+      li.join(F.broadcast(probeKeys), "l_orderkey")
+        .select(F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_partkey"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // ---- training-data ops over the documents/embeddings tables ----
 
     // exact dedup with planted duplicates (doc_id+100000 copies): keeps
@@ -184,6 +215,22 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "kv_get_first" ->
+      """SELECT l_orderkey, l_partkey, l_quantity FROM (
+        |  SELECT li.l_orderkey, li.l_partkey, li.l_quantity,
+        |    row_number() OVER (PARTITION BY li.l_orderkey ORDER BY li.l_linenumber) AS rn
+        |  FROM lineitem li
+        |  JOIN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P') p
+        |    ON li.l_orderkey = p.o_orderkey
+        |) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+
+    "kv_multi_get" ->
+      """SELECT li.l_orderkey, li.l_linenumber, li.l_partkey
+        |FROM lineitem li
+        |JOIN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P') p
+        |  ON li.l_orderkey = p.o_orderkey
+        |ORDER BY li.l_orderkey, li.l_linenumber""".stripMargin,
 
     "exact_dedup" ->
       """SELECT min(doc_id) AS doc_id FROM (

@@ -58,28 +58,32 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val sig = df.select(F.col(idCol), F.col(textCol),
+    val sig = df.select(F.col(idCol),
       TextAnalysis.minhash_sig(F.col(textCol), numHashes, shingleSize).as("__sig"))
 
-    // band b = murmur of the slice [b*r, (b+1)*r) — one row per (doc, band)
+    // band b = murmur of the slice [b*r, (b+1)*r) — one row per (doc,
+    // band), carrying ONLY (band, bucket, id): at corpus scale the band
+    // explosion must never amplify document bodies through the shuffle
     val banded = sig.select(
-      F.col(idCol), F.col(textCol),
+      F.col(idCol),
       F.posexplode(F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), b =>
         murmur64(F.concat_ws(",",
           F.transform(F.slice(F.col("__sig"), b * r + 1, F.lit(r)), _.cast("string"))))))
         .as(Seq("__band", "__bucket")))
 
-    // bucket-join: pairs that share (band index, bucket hash)
-    val left = banded.select(F.col("__band"), F.col("__bucket"),
-      F.col(idCol).as("id_a"), F.col(textCol).as("text_a"))
-    val right = banded.select(F.col("__band"), F.col("__bucket"),
-      F.col(idCol).as("id_b"), F.col(textCol).as("text_b"))
-    val candidates = left.join(right, Seq("__band", "__bucket"))
+    // bucket-join on ids; candidate pair count is O(near-dups), tiny
+    // relative to the corpus
+    val left = banded.select(F.col("__band"), F.col("__bucket"), F.col(idCol).as("id_a"))
+    val right = banded.select(F.col("__band"), F.col("__bucket"), F.col(idCol).as("id_b"))
+    val candidateIds = left.join(right, Seq("__band", "__bucket"))
       .filter(F.col("id_a") < F.col("id_b"))
-      .select("id_a", "id_b", "text_a", "text_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
-    candidates
+    // fetch text only for candidates, then exact-verify
+    val textsA = df.select(F.col(idCol).as("id_a"), F.col(textCol).as("text_a"))
+    val textsB = df.select(F.col(idCol).as("id_b"), F.col(textCol).as("text_b"))
+    candidateIds.join(textsA, "id_a").join(textsB, "id_b")
       .withColumn("jaccard",
         TextAnalysis.jaccard_shingles(F.col("text_a"), F.col("text_b"), shingleSize))
       .filter(F.col("jaccard") >= threshold)
@@ -121,12 +125,19 @@ object Dedup {
       vecCol: String,
       threshold: Double = 0.95,
       srpBits: Int = 16): DataFrame = {
-    val sig = df.select(F.col(idCol), F.col(vecCol),
+    // bucket on ids only; vectors are re-joined for candidate pairs so
+    // the SRP bucket join never shuffles embeddings
+    val sig = df.select(F.col(idCol),
       Similarity.srpSignature(F.col(vecCol), srpBits).as("__srp"))
-    val left = sig.select(F.col("__srp"), F.col(idCol).as("id_a"), F.col(vecCol).as("va"))
-    val right = sig.select(F.col("__srp"), F.col(idCol).as("id_b"), F.col(vecCol).as("vb"))
-    left.join(right, Seq("__srp"))
+    val left = sig.select(F.col("__srp"), F.col(idCol).as("id_a"))
+    val right = sig.select(F.col("__srp"), F.col(idCol).as("id_b"))
+    val candidateIds = left.join(right, Seq("__srp"))
       .filter(F.col("id_a") < F.col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val vecsA = df.select(F.col(idCol).as("id_a"), F.col(vecCol).as("va"))
+    val vecsB = df.select(F.col(idCol).as("id_b"), F.col(vecCol).as("vb"))
+    candidateIds.join(vecsA, "id_a").join(vecsB, "id_b")
       .withColumn("cosine", Similarity.cosine(F.col("va"), F.col("vb")))
       .filter(F.col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
