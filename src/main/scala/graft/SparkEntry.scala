@@ -76,6 +76,36 @@ object SparkEntry {
         kll_quantile(F.col("sk"), F.lit(0.95)).as("p95"))
     }),
 
+    "tdigest_quantiles" -> ((s, dir) => {
+      val sk = read(s, dir, "lineitem")
+        .agg(tdigest_sketch(F.col("l_extendedprice"), 100.0).as("sk"))
+      sk.select(
+        tdigest_quantile(F.col("sk"), F.lit(0.5)).as("p50"),
+        tdigest_quantile(F.col("sk"), F.lit(0.99)).as("p99"))
+    }),
+
+    // windowed event-stream rollup: tumbling 1-day windows per event
+    // type, exact counts + rounded sums — exact DuckDB oracle
+    "events_windowed" -> ((s, dir) => {
+      read(s, dir, "events")
+        .groupBy(F.window(F.col("ts"), "1 day").as("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).as("n_events"),
+          F.round(F.sum(F.col("value")), 2).as("sum_value"))
+        .select(F.col("w.start").as("w_start"), F.col("event_type"),
+          F.col("n_events"), F.col("sum_value"))
+        .orderBy("w_start", "event_type")
+    }),
+
+    // same rollup with HLL distinct users per window — rows-only (bound-
+    // checked vs exact countDistinct in GraftFunctionsSpec patterns)
+    "events_windowed_sketch" -> ((s, dir) => {
+      read(s, dir, "events")
+        .groupBy(F.window(F.col("ts"), "1 day").as("w"), F.col("event_type"))
+        .agg(hll_distinct(F.col("user_id"), 14).as("approx_users"))
+        .select(F.col("w.start").as("w_start"), F.col("event_type"), F.col("approx_users"))
+        .orderBy("w_start", "event_type")
+    }),
+
     // bloom-filtered semi-join (ckblm analog, SURVEY.md §2.4). Keys stay
     // LongType: integral keys canonicalize to 8-byte binary, which routes
     // through the murmur2 kernel's full mixing loop — short decimal
@@ -215,6 +245,12 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "events_windowed" ->
+      """SELECT time_bucket(INTERVAL 1 DAY, ts) AS w_start, event_type,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
 
     "kv_get_first" ->
       """SELECT l_orderkey, l_partkey, l_quantity FROM (

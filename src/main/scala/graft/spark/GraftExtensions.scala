@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.spark.agg.{BloomAgg, BloomMergeAgg, CmsAgg, CmsMergeAgg, HllAgg, HllMergeAgg, KllAgg, KllMergeAgg}
+import graft.spark.agg.{BloomAgg, BloomMergeAgg, CmsAgg, CmsMergeAgg, HllAgg, HllMergeAgg, KllAgg, KllMergeAgg, TDigestAgg, TDigestMergeAgg}
 import graft.spark.expr._
 
 /** SQL registration for the engine: `spark.sql("SELECT graft_hash64(x)...")`.
@@ -72,6 +72,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(c) => KllAgg(c, 200).toAggregateExpression()
       case Seq(c, k) => KllAgg(c, litInt(k)).toAggregateExpression()
     })
+    register("tdigest_sketch", {
+      case Seq(c) => TDigestAgg(c, 100.0).toAggregateExpression()
+      case Seq(c, d) => TDigestAgg(c, lit(d).toDouble).toAggregateExpression()
+    })
+    register("tdigest_merge", { case Seq(c) => TDigestMergeAgg(c).toAggregateExpression() })
+    register("tdigest_quantile", { case Seq(s0, q) => TDigestQuantile(s0, q) })
     register("bloom_merge", { case Seq(c) => BloomMergeAgg(c).toAggregateExpression() })
     register("hll_merge", { case Seq(c) => HllMergeAgg(c).toAggregateExpression() })
     register("cms_merge", { case Seq(c) => CmsMergeAgg(c).toAggregateExpression() })

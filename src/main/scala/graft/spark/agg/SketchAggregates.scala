@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.core.hash.HashKernels
-import graft.sketch.{BloomSketch, CmsSketch, HllSketch, KllSketch}
+import graft.sketch.{BloomSketch, CmsSketch, HllSketch, KllSketch, TDigestSketch}
 
 /** Sketch-building aggregate functions.
   *
@@ -221,5 +221,43 @@ case class KllAgg(
   override def withNewInputAggBufferOffset(offset: Int): KllAgg =
     copy(inputAggBufferOffset = offset)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KllAgg =
+    copy(child = c.head)
+}
+
+/** `tdigest_sketch(value, compression)` — merging t-digest over numeric
+  * input (Dunning & Ertl); strong tail-quantile accuracy. */
+case class TDigestAgg(
+    child: Expression,
+    compression: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TDigestSketch] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult =
+    ValueBytes.checkNumeric(prettyName, child.dataType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "tdigest_sketch"
+
+  override def createAggregationBuffer(): TDigestSketch = TDigestSketch(compression)
+
+  override def update(buffer: TDigestSketch, input: InternalRow): TDigestSketch = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(ValueBytes.toDouble(v, child.dataType))
+    buffer
+  }
+
+  override def merge(buffer: TDigestSketch, other: TDigestSketch): TDigestSketch =
+    buffer.merge(other)
+  override def eval(buffer: TDigestSketch): Any = buffer.serialize()
+  override def serialize(buffer: TDigestSketch): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): TDigestSketch = TDigestSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(offset: Int): TDigestAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): TDigestAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): TDigestAgg =
     copy(child = c.head)
 }

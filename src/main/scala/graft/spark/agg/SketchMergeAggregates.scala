@@ -130,3 +130,18 @@ case class KllMergeAgg(
   override def withNewInputAggBufferOffset(o: Int): KllMergeAgg = copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KllMergeAgg = copy(child = c.head)
 }
+
+case class TDigestMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends SketchMergeAgg[graft.sketch.TDigestSketch] {
+  override protected def sketchName: String = "tdigest"
+  override def prettyName: String = "tdigest_merge"
+  override protected def deserializeSketch(b: Array[Byte]) = graft.sketch.TDigestSketch.deserialize(b)
+  override protected def mergeSketch(a: graft.sketch.TDigestSketch, b: graft.sketch.TDigestSketch) = a.merge(b)
+  override protected def serializeSketch(s: graft.sketch.TDigestSketch) = s.serialize()
+  override def withNewMutableAggBufferOffset(o: Int): TDigestMergeAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TDigestMergeAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): TDigestMergeAgg = copy(child = c.head)
+}

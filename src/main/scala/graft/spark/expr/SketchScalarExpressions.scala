@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.types._
-import graft.sketch.{BloomSketch, CmsSketch, HllSketch, KllSketch}
+import graft.sketch.{BloomSketch, CmsSketch, HllSketch, KllSketch, TDigestSketch}
 import graft.spark.agg.ValueBytes
 
 /** Scalar query expressions over serialized sketch buffers (BinaryType).
@@ -184,5 +184,34 @@ case class KllRank(left: Expression, right: Expression)
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): KllRank =
+    copy(left = l, right = r)
+}
+
+/** `tdigest_quantile(sketchBytes, q)` — value at quantile q in [0,1]. */
+case class TDigestQuantile(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val f = SketchTypeChecks.binaryFirst(prettyName, left.dataType)
+    if (f.isFailure) f else SketchTypeChecks.exact(prettyName, right.dataType, DoubleType)
+  }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "tdigest_quantile"
+
+  @transient private lazy val cache = new SketchCache(TDigestSketch.deserialize)
+
+  def quantile(sketchBytes: Array[Byte], q: Double): Double =
+    cache.get(sketchBytes).quantile(q)
+
+  override protected def nullSafeEval(sketch: Any, q: Any): Any =
+    quantile(sketch.asInstanceOf[Array[Byte]], q.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tdExpr", this, classOf[TDigestQuantile].getName)
+    nullSafeCodeGen(ctx, ev, (s, q) => s"${ev.value} = $ref.quantile($s, $q);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TDigestQuantile =
     copy(left = l, right = r)
 }

@@ -3,7 +3,7 @@ package graft.spark
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
-import graft.spark.agg.{BloomAgg, BloomMergeAgg, CmsAgg, CmsMergeAgg, HllAgg, HllMergeAgg, KllAgg, KllMergeAgg}
+import graft.spark.agg.{BloomAgg, BloomMergeAgg, CmsAgg, CmsMergeAgg, HllAgg, HllMergeAgg, KllAgg, KllMergeAgg, TDigestAgg, TDigestMergeAgg}
 import graft.spark.expr._
 
 /** User-facing Column functions — the engine's public API surface,
@@ -53,6 +53,9 @@ object functions {
   def kll_sketch(c: Column, k: Int = 200): Column =
     column(KllAgg(expression(c), k).toAggregateExpression())
 
+  def tdigest_sketch(c: Column, compression: Double = 100.0): Column =
+    column(TDigestAgg(expression(c), compression).toAggregateExpression())
+
   // ---- sketch unions (second level of two-level / salted aggregation) ----
 
   def bloom_merge(c: Column): Column =
@@ -66,6 +69,9 @@ object functions {
 
   def kll_merge(c: Column): Column =
     column(KllMergeAgg(expression(c)).toAggregateExpression())
+
+  def tdigest_merge(c: Column): Column =
+    column(TDigestMergeAgg(expression(c)).toAggregateExpression())
 
   // ---- sketch probes (scalar) ----
 
@@ -83,6 +89,9 @@ object functions {
 
   def kll_rank(sketch: Column, v: Column): Column =
     column(KllRank(expression(sketch), expression(v)))
+
+  def tdigest_quantile(sketch: Column, q: Column): Column =
+    column(TDigestQuantile(expression(sketch), expression(q)))
 
   // ---- one-shot conveniences ----
 
