@@ -1,0 +1,86 @@
+package graft.spark
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.sketch.{HllSketch, KllSketch, TDigestSketch}
+import graft.spark.functions._
+
+/** Edge cases a 100 TB pipeline will hit on day one: empty inputs, all-null
+  * columns, empty groups after filters, single rows — plus cross-checks of
+  * the graft sketches against Spark's own approximate built-ins. */
+class EdgeCasesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("aggregates over an empty relation produce valid empty sketches") {
+    val empty = spark.range(0).select(F.col("id").cast("string").as("s"),
+      F.col("id").cast("double").as("v"))
+    val row = empty.agg(
+      hll_sketch($"s", 12).as("h"),
+      kll_sketch($"v", 200).as("k"),
+      cms_sketch($"s", 5, 1 << 12).as("c"),
+      bloom_sketch($"s", 1000, 12).as("b"),
+      tdigest_sketch($"v", 100.0).as("t")).head()
+    assert(math.round(HllSketch.deserialize(row.getAs[Array[Byte]]("h")).estimate()) === 0L)
+    val kll = KllSketch.deserialize(row.getAs[Array[Byte]]("k"))
+    assert(kll.n === 0L && kll.quantile(0.5).isNaN)
+    assert(TDigestSketch.deserialize(row.getAs[Array[Byte]]("t")).quantile(0.5).isNaN)
+    assert(graft.sketch.BloomSketch.deserialize(row.getAs[Array[Byte]]("b"))
+      .contains("anything") === false)
+  }
+
+  test("all-null input column: sketches stay empty, hash expressions yield null") {
+    val df = Seq[(java.lang.Long, String)]((1L, null), (2L, null)).toDF("id", "s")
+    val est = df.agg(hll_distinct($"s", 12)).head().getLong(0)
+    assert(est === 0L)
+    val hashes = df.select(graft_hash64($"s")).collect()
+    assert(hashes.forall(_.isNullAt(0)))
+  }
+
+  test("single-row group and empty merge side behave") {
+    val df = Seq(("a", 1.0), ("b", 2.0)).toDF("g", "v")
+    val out = df.groupBy("g").agg(
+      kll_quantile(kll_sketch($"v", 200), F.lit(0.5)).as("p50"),
+      tdigest_quantile(tdigest_sketch($"v", 100.0), F.lit(0.5)).as("tp50")).collect()
+    assert(out.map(r => (r.getString(0), r.getDouble(1))).toSet === Set("a" -> 1.0, "b" -> 2.0))
+    // merge agg over a frame with NULL sketch rows
+    val sketches = df.groupBy("g").agg(hll_sketch($"g", 12).as("sk"))
+      .unionAll(Seq(("z", null.asInstanceOf[Array[Byte]])).toDF("g", "sk"))
+    val merged = sketches.agg(hll_merge($"sk")).head().getAs[Array[Byte]](0)
+    assert(math.round(HllSketch.deserialize(merged).estimate()) === 2L)
+    // merge over ONLY null rows yields null
+    val allNull = Seq(("z", null.asInstanceOf[Array[Byte]])).toDF("g", "sk")
+      .agg(hll_merge($"sk")).head()
+    assert(allNull.isNullAt(0))
+  }
+
+  test("cross-check vs Spark built-ins: hll_distinct ~ approx_count_distinct ~ exact") {
+    val df = spark.range(100000).select(F.concat(F.lit("u"), (F.col("id") % 25000).cast("string")).as("s"))
+    val row = df.agg(
+      hll_distinct($"s", 14).as("graft"),
+      F.approx_count_distinct($"s", 0.01).as("spark"),
+      F.countDistinct($"s").as("exact")).head()
+    val exact = row.getLong(2)
+    assert(math.abs(row.getLong(0) - exact).toDouble / exact <= 3 * HllSketch.standardError(14))
+    assert(math.abs(row.getLong(1) - exact).toDouble / exact <= 0.05)
+  }
+
+  test("cross-check vs Spark built-ins: kll/tdigest median ~ percentile_approx ~ exact") {
+    val df = spark.range(50000).select((F.col("id") % 1000).cast("double").as("v"))
+    val row = df.agg(
+      kll_quantile(kll_sketch($"v", 200), F.lit(0.5)).as("kll"),
+      tdigest_quantile(tdigest_sketch($"v", 100.0), F.lit(0.5)).as("td"),
+      F.expr("percentile_approx(v, 0.5d, 10000)").as("spark"),
+      F.expr("percentile(v, 0.5d)").as("exact")).head()
+    val exact = row.getDouble(3)
+    assert(math.abs(row.getDouble(0) - exact) <= 10.0, s"kll ${row.getDouble(0)} vs $exact")
+    assert(math.abs(row.getDouble(1) - exact) <= 10.0, s"td ${row.getDouble(1)} vs $exact")
+  }
+
+  test("unsupported input types fail analysis with a clear message") {
+    val df = Seq((Array(1.0, 2.0), 1)).toDF("arr", "i")
+    val e = intercept[Exception](df.agg(hll_sketch($"arr", 12)).head())
+    assert(e.getMessage.contains("cannot sketch") || e.getMessage.contains("DATATYPE_MISMATCH"))
+    val e2 = intercept[Exception](df.agg(kll_sketch($"arr", 200)).head())
+    assert(e2.getMessage.contains("numeric") || e2.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+}
