@@ -35,13 +35,22 @@ object ProbeJob {
     import graft.data.TranscriptTable.PartCol
     val bankRows = spark.read.parquet(s"$buildOut/parts")
       .select(F.col(PartCol), F.col("bloom_conv")).collect()
-    val nParts = bankRows.length
-    require(nParts > 0, s"empty bloom bank at $buildOut/parts")
+    require(bankRows.nonEmpty, s"empty bloom bank at $buildOut/parts")
+    // route with the modulus the TABLE was built with (recorded in the
+    // build manifest) — an incomplete bank must not change routing
+    val nParts = SketchBuildJob.recordedNParts(buildOut).getOrElse(
+      throw new IllegalStateException(
+        s"$buildOut/_manifest/config.json missing; cannot derive bank routing"))
     val bank = bankRows.map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
     val bankBc = spark.sparkContext.broadcast(bank)
+    // Bloom semantics for a part whose filter is not built yet: we cannot
+    // prove absence, so "might contain" = true (and reverse = false)
     val contains = F.udf((part: Int, key: String) =>
       if (key == null) false
-      else BankCache.get(bankBc.value, part).contains(key))
+      else bankBc.value.get(part) match {
+        case Some(bytes) => BankCache.get(bankBc.value, part, bytes).contains(key)
+        case None => true
+      })
     val part = F.pmod(graft.spark.functions.murmur64(F.col(keyCol)),
       F.lit(nParts.toLong)).cast("int")
     val pred = contains(part, F.col(keyCol))
@@ -63,14 +72,18 @@ object ProbeJob {
 }
 
 /** Per-executor deserialized-filter cache for Bloom-bank probes: each
-  * part's filter is deserialized at most once per JVM. */
+  * part's filter is deserialized at most once per JVM. Returned sketches
+  * are shared across task threads — safe because `BloomSketch.contains`
+  * is thread-safe (it allocates its k-vector locally). Cache keys carry
+  * the bytes' length alongside the bank's identity hash so a (rare)
+  * identityHashCode collision between different banks cannot alias. */
 private[jobs] object BankCache {
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), graft.sketch.BloomSketch]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), graft.sketch.BloomSketch]()
 
-  def get(bank: Map[Int, Array[Byte]], part: Int): graft.sketch.BloomSketch =
-    cache.computeIfAbsent((System.identityHashCode(bank), part),
-      _ => graft.sketch.BloomSketch.deserialize(bank(part)))
+  def get(bank: Map[Int, Array[Byte]], part: Int, bytes: Array[Byte]): graft.sketch.BloomSketch =
+    cache.computeIfAbsent((System.identityHashCode(bank), part, bytes.length),
+      _ => graft.sketch.BloomSketch.deserialize(bytes))
 }
 
 /** Full-scan dump in stable order — the `dumphf` analog

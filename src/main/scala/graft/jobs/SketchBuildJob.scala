@@ -40,7 +40,6 @@ object SketchBuildJob {
   case class Config(
       input: String,
       out: String,
-      nParts: Int = 32,
       hllP: Int = 14,
       cmsDepth: Int = 5,
       cmsWidth: Int = 1 << 14,
@@ -74,11 +73,25 @@ object SketchBuildJob {
   def completedParts(out: String): Set[Int] = {
     val dir = manifestDir(out)
     if (!Files.exists(dir)) Set.empty
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("part-") && s.endsWith(".json") =>
-        s.stripPrefix("part-").stripSuffix(".json").toInt }
-      .toSet
+    else {
+      val stream = Files.list(dir)
+      try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("part-") && s.endsWith(".json") =>
+          s.stripPrefix("part-").stripSuffix(".json").toInt }
+        .toSet
+      finally stream.close()
+    }
+  }
+
+  /** The routing modulus recorded at build time — probeBank must route
+    * with the TABLE part count, never with however many parts happen to
+    * be completed so far. */
+  def recordedNParts(out: String): Option[Int] = {
+    val f = Paths.get(out, "_manifest", "config.json")
+    if (!Files.exists(f)) None
+    else "\\\"n_parts\\\":(\\d+)".r.findFirstMatchIn(
+      new String(Files.readAllBytes(f), "UTF-8")).map(_.group(1).toInt)
   }
 
   /** The per-part sketch aggregation — one row per part_id. */
@@ -100,6 +113,14 @@ object SketchBuildJob {
 
     val allParts = df.select(TranscriptTable.PartCol).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
+    // record the routing modulus once (max part id + 1 of the full table)
+    val cfgFile = manifestDir(c.out).resolve("config.json")
+    if (!Files.exists(cfgFile)) {
+      val cfgJson = "{" + "\"n_parts\":" + (allParts.max + 1) +
+        ",\"input\":\"" + c.input + "\"}"
+      Files.write(cfgFile, cfgJson.getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    }
     val done = completedParts(c.out)
     val pendingAll = allParts.filterNot(done)
     val pending = c.maxPartsPerRun.fold(pendingAll)(pendingAll.take)
@@ -210,7 +231,6 @@ object SketchBuildJob {
     val c = Config(
       input = argMap("--input"),
       out = argMap("--out"),
-      nParts = argMap.getOrElse("--parts", "32").toInt,
       maxPartsPerRun = argMap.get("--max-parts").map(_.toInt))
     val spark = JobSession.get("graft-sketch-build")
     val r = run(spark, c)

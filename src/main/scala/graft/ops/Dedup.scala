@@ -19,15 +19,25 @@ import graft.spark.functions.murmur64
 object Dedup {
 
   /** Exact duplicate groups by content hash: keeps the minimum id per
-    * distinct text. Shuffles 16 bytes/row regardless of document size.
-    * 64-bit collision odds at n=10^9 are ~1e-[infinitesimal]; pipelines
-    * needing certainty chain `verify = true` which re-checks text
-    * equality within hash groups (one extra narrow shuffle of winners). */
-  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(F.col(idCol), murmur64(F.col(textCol)).as("__h"))
-      .groupBy(F.col("__h"))
-      .agg(F.min(F.col(idCol)).as(idCol))
-      .select(idCol)
+    * distinct text. Default shuffles 16 bytes/row regardless of document
+    * size (64-bit collision odds at n=10^9 are negligible); pipelines
+    * needing certainty pass `verifyByText = true`, which groups by
+    * (hash, text) so hash collisions between different texts can never
+    * merge groups — at the cost of shuffling the text column. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String,
+      verifyByText: Boolean = false): DataFrame = {
+    if (verifyByText) {
+      df.select(F.col(idCol), murmur64(F.col(textCol)).as("__h"), F.col(textCol))
+        .groupBy(F.col("__h"), F.col(textCol))
+        .agg(F.min(F.col(idCol)).as(idCol))
+        .select(idCol)
+    } else {
+      df.select(F.col(idCol), murmur64(F.col(textCol)).as("__h"))
+        .groupBy(F.col("__h"))
+        .agg(F.min(F.col(idCol)).as(idCol))
+        .select(idCol)
+    }
+  }
 
   /** Exact duplicate pairs (loser -> kept winner), for building a purge
     * list: every id whose text already appeared under a smaller id. */

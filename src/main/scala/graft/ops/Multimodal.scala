@@ -83,10 +83,14 @@ object Multimodal {
     * agg computes total bytes; partition count = ceil(total/target). */
   def repartitionBySize(df: DataFrame, contentCol: String,
       targetBytesPerPartition: Long = 128L << 20): DataFrame = {
-    val total = df.agg(F.sum(F.length(F.col(contentCol)))).head().getLong(0)
+    val totalRow = df.agg(F.sum(F.length(F.col(contentCol)))).head()
+    if (totalRow.isNullAt(0)) return df // empty input
+    val total = totalRow.getLong(0)
     val parts = math.max(1, math.ceil(total.toDouble / targetBytesPerPartition).toInt)
-    // hash-distribute on a stable key so the layout is deterministic
-    df.repartition(parts, F.col(contentCol).substr(0, 8))
+    // distribute on the FULL content hash: real media share fixed
+    // magic-byte prefixes, so any prefix key would collapse same-format
+    // assets into one partition
+    df.repartition(parts, graft.spark.functions.murmur64(F.col(contentCol)))
   }
 
   /** Decode images. STUB: a real pipeline calls an image codec here

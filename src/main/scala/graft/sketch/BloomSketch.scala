@@ -98,10 +98,12 @@ final class BloomSketch private (
 
   def contains(s: String): Boolean = contains(ByteOps.utf8(s))
 
+  /** THREAD-SAFE (allocates its k-vector locally): probe-side sketches are
+    * shared across executor task threads (broadcast banks, literal
+    * sketches), unlike aggregation buffers which are single-threaded. */
   def contains(data: Array[Byte]): Boolean = {
     if (longHash) {
-      val codes = scratch64
-      kernel.hash64Into(data, k, codes)
+      val codes = kernel.hash64K(data, k)
       var i = 0
       while (i < k) {
         val code = codes(i)
@@ -109,8 +111,7 @@ final class BloomSketch private (
         i += 1
       }
     } else {
-      val codes = scratch32
-      kernel.hash32Into(data, k, codes)
+      val codes = kernel.hash32K(data, k)
       var i = 0
       while (i < k) {
         val code = codes(i)
@@ -167,8 +168,14 @@ object BloomSketch {
       bitsPerItem: Int,
       kernel: HashKernel64 = HashKernels.murmur,
       longHash: Boolean = true): BloomSketch = {
-    val bitSetLength = ((maxSize * bitsPerItem) / NumBitSets).toInt
-    require(bitSetLength > 0, s"maxSize * bitsPerItem must be >= $NumBitSets")
+    val totalBits = Math.multiplyExact(maxSize, bitsPerItem.toLong)
+    val bitSetLengthLong = totalBits / NumBitSets
+    require(bitSetLengthLong > 0, s"maxSize * bitsPerItem must be >= $NumBitSets")
+    require(bitSetLengthLong <= Int.MaxValue,
+      s"requested filter too large: maxSize=$maxSize x bpi=$bitsPerItem needs " +
+        s"$bitSetLengthLong bits per bit-set (max ${Int.MaxValue}); shard it — " +
+        s"e.g. the SketchBuildJob Bloom bank partitions capacity across parts")
+    val bitSetLength = bitSetLengthLong.toInt
     val wordsPerSet = (bitSetLength + 63) >>> 6
     new BloomSketch(kernel, maxSize, bitsPerItem, longHash,
       new Array[Long](NumBitSets * wordsPerSet))

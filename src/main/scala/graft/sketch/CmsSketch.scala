@@ -47,9 +47,9 @@ final class CmsSketch private (
 
   def update(s: String): Unit = update(ByteOps.utf8(s), 1L)
 
+  /** THREAD-SAFE (allocates locally): probe-side sketches are shared. */
   def estimate(data: Array[Byte]): Long = {
-    val codes = scratch
-    kernel.hash64Into(data, depth, codes)
+    val codes = kernel.hash64K(data, depth)
     var min = Long.MaxValue
     var i = 0
     while (i < depth) {

@@ -44,9 +44,9 @@ final class TDigestSketch private (
     compression / (2.0 * math.Pi) * math.asin(2.0 * math.min(1.0, math.max(0.0, q)) - 1.0)
 
   private def compress(): Unit = {
-    if (bufMeans.isEmpty && means.length <= compression.toInt * 2) {
-      if (bufMeans.isEmpty) return
-    }
+    // nothing buffered and centroid count already within bound: no-op
+    if (bufMeans.isEmpty && means.length <= compression.toInt * 2) return
+    if (bufMeans.isEmpty && means.isEmpty) return
     // gather all (centroid + buffered) points sorted by mean
     val m = new Array[Double](means.length + bufMeans.length)
     val w = new Array[Double](m.length)

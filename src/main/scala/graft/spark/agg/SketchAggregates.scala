@@ -207,7 +207,12 @@ case class KllAgg(
 
   override def update(buffer: KllSketch, input: InternalRow): KllSketch = {
     val v = child.eval(input)
-    if (v != null) buffer.update(ValueBytes.toDouble(v, child.dataType))
+    if (v != null) {
+      val d = ValueBytes.toDouble(v, child.dataType)
+      // NaN is skipped like null — one NaN would otherwise poison the
+      // quantile structure (matches percentile-style user expectations)
+      if (!java.lang.Double.isNaN(d)) buffer.update(d)
+    }
     buffer
   }
 
@@ -244,7 +249,10 @@ case class TDigestAgg(
 
   override def update(buffer: TDigestSketch, input: InternalRow): TDigestSketch = {
     val v = child.eval(input)
-    if (v != null) buffer.update(ValueBytes.toDouble(v, child.dataType))
+    if (v != null) {
+      val d = ValueBytes.toDouble(v, child.dataType)
+      if (!java.lang.Double.isNaN(d)) buffer.update(d) // NaN skipped like null
+    }
     buffer
   }
 

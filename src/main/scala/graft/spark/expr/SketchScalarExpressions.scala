@@ -17,7 +17,7 @@ import graft.spark.agg.ValueBytes
   * (the `ckblm`-style Bloom filter probe, `cmd/ckblm.java:63-66`, is the
   * reference's hot membership path).
   */
-private[expr] object SketchTypeChecks {
+object SketchTypeChecks {
   def binaryFirst(prettyName: String, dt: DataType): TypeCheckResult = dt match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -29,6 +29,21 @@ private[expr] object SketchTypeChecks {
     if (dt == want) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires ${want.catalogString} argument, got ${dt.catalogString}")
+
+  /** any numeric (incl. DECIMAL literals like SQL 0.5) accepted, converted
+    * to double at eval */
+  def numeric(prettyName: String, dt: DataType): TypeCheckResult = dt match {
+    case _: org.apache.spark.sql.types.NumericType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a numeric argument, got ${other.catalogString}")
+  }
+
+  def asDouble(v: Any): Double = v match {
+    case d: java.lang.Double => d
+    case f: java.lang.Float => f.toDouble
+    case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+    case n: java.lang.Number => n.doubleValue()
+  }
 }
 
 private[expr] final class SketchCache[S <: AnyRef](deser: Array[Byte] => S) extends Serializable {
@@ -136,7 +151,7 @@ case class KllQuantile(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val f = SketchTypeChecks.binaryFirst(prettyName, left.dataType)
-    if (f.isFailure) f else SketchTypeChecks.exact(prettyName, right.dataType, DoubleType)
+    if (f.isFailure) f else SketchTypeChecks.numeric(prettyName, right.dataType)
   }
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
@@ -148,11 +163,12 @@ case class KllQuantile(left: Expression, right: Expression)
     cache.get(sketchBytes).quantile(q)
 
   override protected def nullSafeEval(sketch: Any, q: Any): Any =
-    quantile(sketch.asInstanceOf[Array[Byte]], q.asInstanceOf[Double])
+    quantile(sketch.asInstanceOf[Array[Byte]], SketchTypeChecks.asDouble(q))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("kllExpr", this, classOf[KllQuantile].getName)
-    nullSafeCodeGen(ctx, ev, (s, q) => s"${ev.value} = $ref.quantile($s, $q);")
+    nullSafeCodeGen(ctx, ev, (s, q) =>
+      s"${ev.value} = $ref.quantile($s, graft.spark.expr.SketchTypeChecks.asDouble($q));")
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): KllQuantile =
@@ -165,7 +181,7 @@ case class KllRank(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val f = SketchTypeChecks.binaryFirst(prettyName, left.dataType)
-    if (f.isFailure) f else SketchTypeChecks.exact(prettyName, right.dataType, DoubleType)
+    if (f.isFailure) f else SketchTypeChecks.numeric(prettyName, right.dataType)
   }
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
@@ -176,11 +192,12 @@ case class KllRank(left: Expression, right: Expression)
   def rank(sketchBytes: Array[Byte], v: Double): Long = cache.get(sketchBytes).rank(v)
 
   override protected def nullSafeEval(sketch: Any, v: Any): Any =
-    rank(sketch.asInstanceOf[Array[Byte]], v.asInstanceOf[Double])
+    rank(sketch.asInstanceOf[Array[Byte]], SketchTypeChecks.asDouble(v))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("kllRankExpr", this, classOf[KllRank].getName)
-    nullSafeCodeGen(ctx, ev, (s, v) => s"${ev.value} = $ref.rank($s, $v);")
+    nullSafeCodeGen(ctx, ev, (s, v) =>
+      s"${ev.value} = $ref.rank($s, graft.spark.expr.SketchTypeChecks.asDouble($v));")
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): KllRank =
@@ -193,7 +210,7 @@ case class TDigestQuantile(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val f = SketchTypeChecks.binaryFirst(prettyName, left.dataType)
-    if (f.isFailure) f else SketchTypeChecks.exact(prettyName, right.dataType, DoubleType)
+    if (f.isFailure) f else SketchTypeChecks.numeric(prettyName, right.dataType)
   }
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
@@ -205,11 +222,12 @@ case class TDigestQuantile(left: Expression, right: Expression)
     cache.get(sketchBytes).quantile(q)
 
   override protected def nullSafeEval(sketch: Any, q: Any): Any =
-    quantile(sketch.asInstanceOf[Array[Byte]], q.asInstanceOf[Double])
+    quantile(sketch.asInstanceOf[Array[Byte]], SketchTypeChecks.asDouble(q))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("tdExpr", this, classOf[TDigestQuantile].getName)
-    nullSafeCodeGen(ctx, ev, (s, q) => s"${ev.value} = $ref.quantile($s, $q);")
+    nullSafeCodeGen(ctx, ev, (s, q) =>
+      s"${ev.value} = $ref.quantile($s, graft.spark.expr.SketchTypeChecks.asDouble($q));")
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): TDigestQuantile =

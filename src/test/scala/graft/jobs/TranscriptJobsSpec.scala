@@ -59,7 +59,7 @@ class TranscriptJobsSpec extends SparkTestBase {
 
   test("sketch build job: estimates within bounds of exact ground truth") {
     val out = s"$workDir/build_full"
-    val r = SketchBuildJob.run(spark, SketchBuildJob.Config(tablePath, out, nParts))
+    val r = SketchBuildJob.run(spark, SketchBuildJob.Config(tablePath, out))
     val df = TranscriptTable.read(spark, tablePath)
     val exactRows = df.count()
     val exactConvs = df.select("conv_id").distinct().count()
@@ -78,15 +78,15 @@ class TranscriptJobsSpec extends SparkTestBase {
   test("kill/resume: second run recomputes only missing parts, final state identical") {
     val outFull = s"$workDir/build_a"
     val outResume = s"$workDir/build_b"
-    val full = SketchBuildJob.run(spark, SketchBuildJob.Config(tablePath, outFull, nParts))
+    val full = SketchBuildJob.run(spark, SketchBuildJob.Config(tablePath, outFull))
     // simulate a killed run: only 3 parts complete
     val r1 = SketchBuildJob.run(spark,
-      SketchBuildJob.Config(tablePath, outResume, nParts, maxPartsPerRun = Some(3)))
+      SketchBuildJob.Config(tablePath, outResume, maxPartsPerRun = Some(3)))
     assert(r1.processedParts.size === 3)
     assert(SketchBuildJob.completedParts(outResume).size === 3)
     // resume: processes exactly the remaining parts
     val r2 = SketchBuildJob.run(spark,
-      SketchBuildJob.Config(tablePath, outResume, nParts))
+      SketchBuildJob.Config(tablePath, outResume))
     assert(r2.processedParts.size === nParts - 3)
     assert(r2.skippedParts.toSet === r1.processedParts.map(_.partId).toSet)
     assert(SketchBuildJob.completedParts(outResume).size === nParts)
@@ -98,7 +98,7 @@ class TranscriptJobsSpec extends SparkTestBase {
     }
     assert(full.totalRows === r2.totalRows)
     // idempotent third run: nothing pending
-    val r3 = SketchBuildJob.run(spark, SketchBuildJob.Config(tablePath, outResume, nParts))
+    val r3 = SketchBuildJob.run(spark, SketchBuildJob.Config(tablePath, outResume))
     assert(r3.processedParts.isEmpty)
   }
 
@@ -138,7 +138,7 @@ class TranscriptJobsSpec extends SparkTestBase {
 
   test("probe job: members pass, reverse filter is exact (no false negatives)") {
     val out = s"$workDir/build_probe"
-    SketchBuildJob.run(spark, SketchBuildJob.Config(tablePath, out, nParts))
+    SketchBuildJob.run(spark, SketchBuildJob.Config(tablePath, out))
     val df = TranscriptTable.read(spark, tablePath)
     val members = ProbeJob.probeBank(spark, df.select("conv_id").distinct(),
       out, "conv_id").count()
@@ -148,6 +148,37 @@ class TranscriptJobsSpec extends SparkTestBase {
     val absent = ProbeJob.probeBank(spark, foreign, out, "conv_id",
       reverse = true).count()
     assert(absent >= 495, s"reverse filter kept $absent of 500 non-members")
+  }
+
+  test("incomplete bank: routing uses recorded modulus; missing parts mean might-contain") {
+    val out = s"$workDir/build_partial"
+    // build only 3 of 8 parts, then probe
+    SketchBuildJob.run(spark,
+      SketchBuildJob.Config(tablePath, out, maxPartsPerRun = Some(3)))
+    assert(SketchBuildJob.recordedNParts(out) === Some(nParts))
+    val df = TranscriptTable.read(spark, tablePath)
+    // members must all pass even though most filters are missing
+    val members = ProbeJob.probeBank(spark, df.select("conv_id").distinct(),
+      out, "conv_id").count()
+    assert(members === nConvs, s"incomplete bank dropped members: $members")
+    // reverse mode must NOT claim absence for keys routed to missing parts
+    val foreign = (0 until 400).map(i => s"other-$i").toDF("conv_id")
+    val claimedAbsent = ProbeJob.probeBank(spark, foreign, out, "conv_id",
+      reverse = true).count()
+    assert(claimedAbsent <= 400 * 3 / 8 + 60,
+      s"reverse mode claimed absence beyond built parts: $claimedAbsent")
+  }
+
+  test("bank probe is correct under high intra-JVM concurrency (shared sketch instances)") {
+    val out = s"$workDir/build_conc"
+    SketchBuildJob.run(spark, SketchBuildJob.Config(tablePath, out))
+    val df = TranscriptTable.read(spark, tablePath)
+    // many partitions of member keys probed concurrently across local[4]
+    // threads: any scratch-sharing race shows up as false negatives
+    val keys = df.select("conv_id").distinct().repartition(64)
+    (1 to 3).foreach { _ =>
+      assert(ProbeJob.probeBank(spark, keys, out, "conv_id").count() === nConvs)
+    }
   }
 
   test("dedup guard: conv ids unique per (conv_id, turn_idx); text equality invariant") {

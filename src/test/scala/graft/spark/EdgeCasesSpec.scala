@@ -76,6 +76,33 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(math.abs(row.getDouble(1) - exact) <= 10.0, s"td ${row.getDouble(1)} vs $exact")
   }
 
+  test("SQL decimal/int literals coerce in sketch probe arguments") {
+    spark.range(1000).select(F.col("id").cast("double").as("v"))
+      .createOrReplaceTempView("edge_vals")
+    // 0.5 parses as DECIMAL(1,1); 500 as INT — both must coerce
+    val q = spark.sql(
+      "SELECT kll_quantile(kll_sketch(v), 0.5), tdigest_quantile(tdigest_sketch(v), 0.5), " +
+      "kll_rank(kll_sketch(v), 500) FROM edge_vals").head()
+    assert(math.abs(q.getDouble(0) - 500) <= 20)
+    assert(math.abs(q.getDouble(1) - 500) <= 20)
+    assert(math.abs(q.getLong(2) - 500) <= 20)
+  }
+
+  test("NaN inputs are skipped like nulls in quantile sketches") {
+    val df = Seq(1.0, 2.0, Double.NaN, 3.0, Double.NaN).toDF("v")
+    val row = df.agg(
+      kll_quantile(kll_sketch($"v", 200), F.lit(1.0)).as("kmax"),
+      tdigest_quantile(tdigest_sketch($"v", 100.0), F.lit(1.0)).as("tmax")).head()
+    assert(row.getDouble(0) === 3.0)
+    assert(row.getDouble(1) === 3.0)
+  }
+
+  test("oversized Bloom config fails loudly instead of silently wrapping") {
+    val e = intercept[Exception](
+      graft.sketch.BloomSketch(1000000000000L, 16))
+    assert(e.getMessage.contains("shard") || e.getMessage.contains("too large"))
+  }
+
   test("unsupported input types fail analysis with a clear message") {
     val df = Seq((Array(1.0, 2.0), 1)).toDF("arr", "i")
     val e = intercept[Exception](df.agg(hll_sketch($"arr", 12)).head())
