@@ -32,6 +32,10 @@ object ScalingBench {
       .appName(s"graft-scaling-$cores")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // finer input splits: part-aligned files alone give only
+      // cores/128 waves and the Zipf-skewed tail leaves ~35% of threads
+      // idle at the end of the scan stage (measured by stack sampling)
+      .config("spark.sql.files.maxPartitionBytes", sys.env.getOrElse("GRAFT_SPLIT_BYTES", "16m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -19,11 +19,13 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Coin flips come from a deterministic xorshift PRNG seeded from the
   * sketch config, so a given update sequence is fully reproducible.
+  * Levels store primitive double arrays (DoubleBuf) — boxing here was the
+  * dominant allocation source under 32-way parallelism.
   */
 final class KllSketch private (
     val k: Int,
     private var nTotal: Long,
-    private var levels: ArrayBuffer[ArrayBuffer[Double]],
+    private var levels: ArrayBuffer[DoubleBuf],
     private var rngState: Long) extends Serializable {
 
   import KllSketch._
@@ -68,7 +70,7 @@ final class KllSketch private (
     // capTotal >= 2 whenever counts are fresh; 0 covers the transient
     // default after plain-JVM deserialization, -1 the pre-init state
     if (capTotal <= 0) refreshCounts()
-    levels.head += v
+    levels.head.add(v)
     nTotal += 1
     itemCnt += 1
     if (itemCnt >= capTotal) compress()
@@ -88,30 +90,29 @@ final class KllSketch private (
   private def compactLevel(h: Int): Unit = {
     val buf = levels(h)
     if (buf.length < 2) return
-    if (h == levels.length - 1) levels += new ArrayBuffer[Double]
-    val sorted = buf.sorted
+    if (h == levels.length - 1) levels += new DoubleBuf()
+    val sorted = buf.sortedArray()
     // compact an even-length run; an odd straggler stays behind so total
     // weight is conserved exactly
     val evenLen = sorted.length & ~1
-    val leftover = new ArrayBuffer[Double]
-    if (sorted.length % 2 == 1) leftover += sorted(sorted.length - 1)
+    val leftover = new DoubleBuf()
+    if (sorted.length % 2 == 1) leftover.add(sorted(sorted.length - 1))
     val offset = if (nextBit()) 1 else 0
-    val keep = new ArrayBuffer[Double](evenLen / 2)
+    val up = levels(h + 1)
     var i = offset
     while (i < evenLen) {
-      keep += sorted(i)
+      up.add(sorted(i))
       i += 2
     }
     levels(h) = leftover
-    levels(h + 1) ++= keep
   }
 
   def merge(other: KllSketch): KllSketch = {
     require(k == other.k, s"Incompatible KLL sketches: k=$k vs k=${other.k}")
-    while (levels.length < other.levels.length) levels += new ArrayBuffer[Double]
+    while (levels.length < other.levels.length) levels += new DoubleBuf()
     var h = 0
     while (h < other.levels.length) {
-      levels(h) ++= other.levels(h)
+      levels(h).addAll(other.levels(h))
       h += 1
     }
     nTotal += other.nTotal
@@ -176,13 +177,13 @@ final class KllSketch private (
     buf.putInt(levels.length)
     levels.foreach { l =>
       buf.putInt(l.length)
-      l.foreach(buf.putDouble)
+      l.foreach(buf.putDouble(_))
     }
     buf.array()
   }
 
   def copy(): KllSketch =
-    new KllSketch(k, nTotal, levels.map(l => l.clone()), rngState)
+    new KllSketch(k, nTotal, levels.map(_.copy()), rngState)
 }
 
 object KllSketch {
@@ -192,7 +193,7 @@ object KllSketch {
 
   def apply(k: Int = 200): KllSketch = {
     require(k >= 8, s"k must be >= 8, got $k")
-    new KllSketch(k, 0L, ArrayBuffer(new ArrayBuffer[Double]), seedFor(k))
+    new KllSketch(k, 0L, ArrayBuffer(new DoubleBuf()), seedFor(k))
   }
 
   private def seedFor(k: Int): Long = 0x9e3779b97f4a7c13L * (k + 1)
@@ -208,13 +209,13 @@ object KllSketch {
     val nTotal = buf.getLong()
     val rngState = buf.getLong()
     val nLevels = buf.getInt()
-    val levels = new ArrayBuffer[ArrayBuffer[Double]](nLevels)
+    val levels = new ArrayBuffer[DoubleBuf](nLevels)
     var h = 0
     while (h < nLevels) {
       val len = buf.getInt()
-      val l = new ArrayBuffer[Double](len)
+      val l = new DoubleBuf(math.max(2, len))
       var i = 0
-      while (i < len) { l += buf.getDouble(); i += 1 }
+      while (i < len) { l.add(buf.getDouble()); i += 1 }
       levels += l
       h += 1
     }

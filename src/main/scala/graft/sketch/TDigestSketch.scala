@@ -2,7 +2,6 @@ package graft.sketch
 
 import java.nio.ByteBuffer
 
-import scala.collection.mutable.ArrayBuffer
 
 /** Merging t-digest (Dunning & Ertl, "Computing Extremely Accurate
   * Quantiles Using t-Digests"): centroids (mean, weight) kept in mean
@@ -19,10 +18,10 @@ import scala.collection.mutable.ArrayBuffer
 final class TDigestSketch private (
     val compression: Double,
     private var totalWeight: Double,
-    private var means: ArrayBuffer[Double],
-    private var weights: ArrayBuffer[Double],
-    private var bufMeans: ArrayBuffer[Double],
-    private var bufWeights: ArrayBuffer[Double],
+    private var means: DoubleBuf,
+    private var weights: DoubleBuf,
+    private var bufMeans: DoubleBuf,
+    private var bufWeights: DoubleBuf,
     private var minV: Double,
     private var maxV: Double) extends Serializable {
 
@@ -31,8 +30,8 @@ final class TDigestSketch private (
   def n: Double = totalWeight
 
   def update(v: Double, w: Double = 1.0): Unit = {
-    bufMeans += v
-    bufWeights += w
+    bufMeans.add(v)
+    bufWeights.add(w)
     totalWeight += w
     if (v < minV) minV = v
     if (v > maxV) maxV = v
@@ -56,8 +55,8 @@ final class TDigestSketch private (
     while (j < bufMeans.length) { m(i) = bufMeans(j); w(i) = bufWeights(j); i += 1; j += 1 }
     val idx = m.indices.toArray.sortBy(m(_))
 
-    val outM = new ArrayBuffer[Double](means.length + 16)
-    val outW = new ArrayBuffer[Double](means.length + 16)
+    val outM = new DoubleBuf(means.length + 16)
+    val outW = new DoubleBuf(means.length + 16)
     var curM = m(idx(0))
     var curW = w(idx(0))
     var wSoFar = 0.0 // weight fully emitted so far
@@ -73,8 +72,8 @@ final class TDigestSketch private (
         curM = curM + (mi - curM) * wi / nw
         curW = nw
       } else {
-        outM += curM
-        outW += curW
+        outM.add(curM)
+        outW.add(curW)
         wSoFar += curW
         kLimit = kOf(wSoFar / totalWeight) + 1.0
         qLimit = qForK(kLimit)
@@ -83,12 +82,12 @@ final class TDigestSketch private (
       }
       p += 1
     }
-    outM += curM
-    outW += curW
+    outM.add(curM)
+    outW.add(curW)
     means = outM
     weights = outW
-    bufMeans = new ArrayBuffer[Double]
-    bufWeights = new ArrayBuffer[Double]
+    bufMeans = new DoubleBuf()
+    bufWeights = new DoubleBuf()
   }
 
   /** inverse of k1: q(k) = (sin(2pi k / delta) + 1) / 2 */
@@ -104,8 +103,8 @@ final class TDigestSketch private (
     other.compressNow()
     var i = 0
     while (i < other.means.length) {
-      bufMeans += other.means(i)
-      bufWeights += other.weights(i)
+      bufMeans.add(other.means(i))
+      bufWeights.add(other.weights(i))
       i += 1
     }
     totalWeight += other.totalWeight
@@ -174,8 +173,7 @@ object TDigestSketch {
   def apply(compression: Double = 100.0): TDigestSketch = {
     require(compression >= 20, s"compression must be >= 20, got $compression")
     new TDigestSketch(compression, 0.0,
-      new ArrayBuffer[Double], new ArrayBuffer[Double],
-      new ArrayBuffer[Double], new ArrayBuffer[Double],
+      new DoubleBuf(), new DoubleBuf(), new DoubleBuf(), new DoubleBuf(),
       Double.PositiveInfinity, Double.NegativeInfinity)
   }
 
@@ -188,11 +186,11 @@ object TDigestSketch {
     val minV = buf.getDouble()
     val maxV = buf.getDouble()
     val nc = buf.getInt()
-    val means = new ArrayBuffer[Double](nc)
-    val weights = new ArrayBuffer[Double](nc)
+    val means = new DoubleBuf(math.max(2, nc))
+    val weights = new DoubleBuf(math.max(2, nc))
     var i = 0
-    while (i < nc) { means += buf.getDouble(); weights += buf.getDouble(); i += 1 }
+    while (i < nc) { means.add(buf.getDouble()); weights.add(buf.getDouble()); i += 1 }
     new TDigestSketch(compression, totalWeight, means, weights,
-      new ArrayBuffer[Double], new ArrayBuffer[Double], minV, maxV)
+      new DoubleBuf(), new DoubleBuf(), minV, maxV)
   }
 }
