@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.core.hash.HashKernels
-import graft.sketch.{BloomSketch, CmsSketch, HllSketch, KllSketch, TDigestSketch}
+import graft.sketch.{BloomSketch, CmsSketch, HeavyHittersSketch, HllSketch, KllSketch, TDigestSketch}
 
 /** Sketch-building aggregate functions.
   *
@@ -267,5 +267,47 @@ case class TDigestAgg(
   override def withNewInputAggBufferOffset(offset: Int): TDigestAgg =
     copy(inputAggBufferOffset = offset)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): TDigestAgg =
+    copy(child = c.head)
+}
+
+/** `hh_sketch(value, capacity)` — SpaceSaving heavy hitters over strings. */
+case class HeavyHittersAgg(
+    child: Expression,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[HeavyHittersSketch] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "hh_sketch"
+
+  override def createAggregationBuffer(): HeavyHittersSketch =
+    HeavyHittersSketch(capacity)
+
+  override def update(buffer: HeavyHittersSketch, input: InternalRow): HeavyHittersSketch = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.asInstanceOf[UTF8String].toString)
+    buffer
+  }
+
+  override def merge(buffer: HeavyHittersSketch, other: HeavyHittersSketch): HeavyHittersSketch =
+    buffer.merge(other)
+  override def eval(buffer: HeavyHittersSketch): Any = buffer.serialize()
+  override def serialize(buffer: HeavyHittersSketch): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): HeavyHittersSketch =
+    HeavyHittersSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(offset: Int): HeavyHittersAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HeavyHittersAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): HeavyHittersAgg =
     copy(child = c.head)
 }

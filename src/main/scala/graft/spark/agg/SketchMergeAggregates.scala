@@ -145,3 +145,18 @@ case class TDigestMergeAgg(
   override def withNewInputAggBufferOffset(o: Int): TDigestMergeAgg = copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): TDigestMergeAgg = copy(child = c.head)
 }
+
+case class HeavyHittersMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends SketchMergeAgg[graft.sketch.HeavyHittersSketch] {
+  override protected def sketchName: String = "heavy-hitters"
+  override def prettyName: String = "hh_merge"
+  override protected def deserializeSketch(b: Array[Byte]) = graft.sketch.HeavyHittersSketch.deserialize(b)
+  override protected def mergeSketch(a: graft.sketch.HeavyHittersSketch, b: graft.sketch.HeavyHittersSketch) = a.merge(b)
+  override protected def serializeSketch(s: graft.sketch.HeavyHittersSketch) = s.serialize()
+  override def withNewMutableAggBufferOffset(o: Int): HeavyHittersMergeAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HeavyHittersMergeAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): HeavyHittersMergeAgg = copy(child = c.head)
+}

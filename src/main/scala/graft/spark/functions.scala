@@ -3,7 +3,7 @@ package graft.spark
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
-import graft.spark.agg.{BloomAgg, BloomMergeAgg, CmsAgg, CmsMergeAgg, HllAgg, HllMergeAgg, KllAgg, KllMergeAgg, TDigestAgg, TDigestMergeAgg}
+import graft.spark.agg.{BloomAgg, BloomMergeAgg, CmsAgg, CmsMergeAgg, HeavyHittersAgg, HeavyHittersMergeAgg, HllAgg, HllMergeAgg, KllAgg, KllMergeAgg, TDigestAgg, TDigestMergeAgg}
 import graft.spark.expr._
 
 /** User-facing Column functions — the engine's public API surface,
@@ -56,6 +56,10 @@ object functions {
   def tdigest_sketch(c: Column, compression: Double = 100.0): Column =
     column(TDigestAgg(expression(c), compression).toAggregateExpression())
 
+  /** SpaceSaving heavy hitters over a string column. */
+  def hh_sketch(c: Column, capacity: Int = 256): Column =
+    column(HeavyHittersAgg(expression(c), capacity).toAggregateExpression())
+
   // ---- sketch unions (second level of two-level / salted aggregation) ----
 
   def bloom_merge(c: Column): Column =
@@ -72,6 +76,9 @@ object functions {
 
   def tdigest_merge(c: Column): Column =
     column(TDigestMergeAgg(expression(c)).toAggregateExpression())
+
+  def hh_merge(c: Column): Column =
+    column(HeavyHittersMergeAgg(expression(c)).toAggregateExpression())
 
   // ---- sketch probes (scalar) ----
 

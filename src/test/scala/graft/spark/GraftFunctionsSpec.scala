@@ -130,6 +130,24 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(math.abs(row.getLong(1) - n / 2.0) / n <= 3 * KllSketch.epsilon(200))
   }
 
+  test("hh_sketch: heavy hitters through Spark aggregation with shuffle merge") {
+    val rows = (0 until 300).flatMap(i => Seq.fill(math.max(1, 3000 / (i + 1)))(s"t$i"))
+    val df = rows.toDF("s").repartition(7)
+    val bytes = df.agg(hh_sketch(F.col("s"), 64)).head().getAs[Array[Byte]](0)
+    val hh = graft.sketch.HeavyHittersSketch.deserialize(bytes)
+    assert(hh.n === rows.size)
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val top5 = hh.topK(5).map(_._1).toSet
+    val exactTop5 = exact.toSeq.sortBy { case (k, c) => (-c, k) }.take(5).map(_._1).toSet
+    assert(top5 === exactTop5)
+    hh.topK(64).foreach { case (k, count, _) => assert(exact.getOrElse(k, 0L) <= count) }
+    // two-level via hh_merge
+    val merged = df.withColumn("g", F.length(F.col("s")) % 3)
+      .groupBy("g").agg(hh_sketch(F.col("s"), 64).as("p"))
+      .agg(hh_merge(F.col("p"))).head().getAs[Array[Byte]](0)
+    assert(graft.sketch.HeavyHittersSketch.deserialize(merged).n === rows.size)
+  }
+
   test("grouped sketches: per-group aggregation works") {
     val df = (0 until 9000).map(i => (s"g${i % 3}", s"v${i % (300 * (1 + i % 3))}")).toDF("g", "v")
     val out = df.groupBy("g").agg(hll_distinct(F.col("v"), 12).as("d")).collect()
