@@ -38,14 +38,25 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // hash projections (SURVEY.md §2.1): exact per-row values — checked
     // rows-only by the driver (DuckDB has no murmur2 variant), pinned
-    // bit-exactly by HashGoldenSpec + the reference differential.
+    // bit-exactly by HashGoldenSpec + the reference differential. The
+    // full LongHash surface crosses the driver contract here: all 7
+    // kernels x 64/32-bit, plus the seeded and k-vector forms of both
+    // widths (LongHash.java:24-48).
     "hash64_projection" -> ((s, dir) => {
-      read(s, dir, "orders")
-        .select(F.col("o_orderkey"),
-          graft_hash64(F.col("o_orderstatus")).as("h_murmur"),
-          graft_hash64(F.col("o_orderpriority"), "jenkins").as("h_jenkins"),
-          graft_hash32(F.col("o_orderpriority"), "fnv1a").as("h_fnv1a32"))
-        .orderBy("o_orderkey")
+      val kernels = Seq("murmur2", "jenkins", "fnv1", "fnv1a", "hsieh", "cwow", "sha1prng")
+      val cols =
+        F.col("o_orderkey") +:
+        (kernels.map(k => graft_hash64(F.col("o_orderstatus"), k).as(s"h64_$k")) ++
+         kernels.map(k => graft_hash32(F.col("o_orderpriority"), k).as(s"h32_$k")) ++
+         Seq(
+           graft_hash64_seeded(F.col("o_orderpriority"), F.lit(12345L)).as("h64_seed_murmur2"),
+           graft_hash64_seeded(F.col("o_orderpriority"), F.lit(7L), "jenkins").as("h64_seed_jenkins"),
+           graft_hash32_seeded(F.col("o_orderpriority"), F.lit(777)).as("h32_seed_murmur2"),
+           graft_hash64_k(F.col("o_orderstatus"), F.lit(3)).as("h64k_murmur2"),
+           graft_hash64_k(F.col("o_orderstatus"), F.lit(3), "fnv1a").as("h64k_fnv1a"),
+           graft_hash32_k(F.col("o_orderstatus"), F.lit(3)).as("h32k_murmur2"),
+           graft_hash32_k(F.col("o_orderstatus"), F.lit(3), "hsieh").as("h32k_hsieh")))
+      read(s, dir, "orders").select(cols: _*).orderBy("o_orderkey")
     }),
 
     // exact grouped aggregation (anchor for the oracle plumbing)
@@ -82,6 +93,37 @@ object SparkEntry {
       sk.select(
         tdigest_quantile(F.col("sk"), F.lit(0.5)).as("p50"),
         tdigest_quantile(F.col("sk"), F.lit(0.99)).as("p99"))
+    }),
+
+    // count-min frequency estimates per distinct key (SURVEY.md §2.6,
+    // Cormode-Muthukrishnan rows seeded by index like
+    // MurmurHash.java:96-136). With 50 distinct keys against width 2^14
+    // the per-row collision odds are ~(49/16384)^5 — the deterministic
+    // estimates equal the exact counts, giving an exact DuckDB oracle;
+    // the est >= exact one-sided bound is asserted in GraftFunctionsSpec.
+    "cms_event_counts" -> ((s, dir) => {
+      val ev = read(s, dir, "events")
+      val key = F.concat_ws(":", F.col("event_type"),
+        (F.col("user_id") % 10).cast("string"))
+      val sk = ev.agg(cms_sketch(key, 5, 1 << 14).as("sk")).head().getAs[Array[Byte]](0)
+      ev.select(key.as("item")).distinct()
+        .select(F.col("item"), cms_estimate(F.lit(sk), F.col("item")).as("est_cnt"))
+        .orderBy("item")
+    }),
+
+    // SpaceSaving heavy hitters (Metwally 2005): capacity 256 >= 50
+    // distinct keys means no evictions ever happen, so counts are exact
+    // and `GROUP BY ... ORDER BY count DESC, key LIMIT k` is an exact
+    // DuckDB oracle; the approximation regime (capacity < distinct) is
+    // bound-tested in HeavyHittersSpec.
+    "hh_topk" -> ((s, dir) => {
+      val ev = read(s, dir, "events")
+      val key = F.concat_ws(":", F.col("event_type"),
+        (F.col("user_id") % 10).cast("string"))
+      ev.agg(hh_sketch(key, 256).as("sk"))
+        .select(F.posexplode(hh_topk(F.col("sk"), F.lit(25))).as(Seq("__pos", "__e")))
+        .select(F.col("__e.item").as("item"), F.col("__e.cnt").as("cnt"))
+        .orderBy(F.col("cnt").desc, F.col("item"))
     }),
 
     // windowed event-stream rollup: tumbling 1-day windows per event
@@ -194,6 +236,35 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // SRP-LSH approximate top-k — the scale path of similarity_topk:
+    // multi-table signature buckets, bucket-local rerank. The testdata
+    // embeddings are isotropic noise (pairwise cosine ~ 0), where no LSH
+    // can beat brute force, so 3 slightly-rotated copies of each query
+    // are planted per query: the true top-4 neighborhood the sketch must
+    // retrieve. Rows-only (LSH is not SQL-expressible); recall >= 0.9 vs
+    // bruteForceTopK on this construction is asserted in OpsSpec.
+    "lsh_topk" -> ((s, dir) => {
+      val embs = read(s, dir, "embeddings").select(F.col("vec_id"), F.col("embedding"))
+      val qbase = embs.filter(F.col("vec_id") < 5)
+      // perturbed copies: alternating +/- (1% * j) per component — a
+      // genuine small-angle rotation, not a pure rescale (which SRP
+      // signatures would be trivially invariant to)
+      val planted = (1 to 3).map { j =>
+        qbase.select((F.col("vec_id") + F.lit(100000L * j)).as("vec_id"),
+          F.transform(F.col("embedding"), (x, i) =>
+            x * (F.lit(1.0f) + F.lit(0.01f * j) *
+              F.when(i % 2 === 0, F.lit(1.0f)).otherwise(F.lit(-1.0f))))
+            .as("embedding"))
+      }.reduce(_ unionAll _)
+      val queries = qbase.select(F.col("vec_id").as("query_id"),
+        F.col("embedding").as("qvec"))
+      Similarity.lshTopK(embs.unionAll(planted), "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 4, bits = 12, tables = 4)
+        .select(F.col("query_id"), F.col("vec_id"),
+          F.col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // near-dup detection suite: rows-only (LSH pipelines are not SQL-
     // expressible); planted +100000 mutated copies guarantee rows>0, and
     // OpsSpec asserts recall/precision with ground truth
@@ -303,11 +374,21 @@ object SparkEntry {
       """SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
         |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
         |       ELSE list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
         |            w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))
-        |  END AS n_subwords
+        |  END AS BIGINT) AS n_subwords
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "cms_event_counts" ->
+      """SELECT event_type || ':' || CAST(user_id % 10 AS VARCHAR) AS item,
+        |  count(*) AS est_cnt
+        |FROM events GROUP BY 1 ORDER BY item""".stripMargin,
+
+    "hh_topk" ->
+      """SELECT event_type || ':' || CAST(user_id % 10 AS VARCHAR) AS item,
+        |  count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY cnt DESC, item LIMIT 25""".stripMargin,
 
     "similarity_topk" ->
       """SELECT query_id, vec_id, rank FROM (

@@ -25,36 +25,44 @@ object ProbeJob {
 
   /** Probe a SketchBuildJob Bloom BANK: per-part filters from
     * `<buildOut>/parts`, routed by the same content hash that
-    * partitioned the build (`part_id = murmur64(key) mod nParts`). The
-    * bank (nParts rows) is collected and broadcast; each executor lazily
-    * deserializes each part's filter once. Scale shape: probe cost is a
-    * scan + O(1) lookup per row; bank memory is O(distinct/parts *
-    * bitsPerItem * nParts / 8) — independent of corpus row count. */
+    * partitioned the build (`part_id = murmur64(key) mod nParts`).
+    *
+    * Scale shape: a PART-ROUTED SHUFFLE-HASH JOIN — probe rows are
+    * tagged with their part id and co-partitioned with the bank's part
+    * rows, so each task holds only ITS partition's filters
+    * (O(nParts x filterBytes / numPartitions) per task), never the whole
+    * bank. The previous collect+broadcast shape put the entire bank on
+    * the driver and on every executor — at 10^12 rows / 4096 parts x
+    * 128 KB that is ~0.5 GB everywhere; the routed join's footprint
+    * shrinks with parallelism instead.
+    *
+    * `bloom_bank_contains` deserializes each part's filter once per task
+    * and skips reading the joined binary column entirely on cache hits.
+    * A part with no built filter yet (resumable build in progress) joins
+    * null => "might contain" = true: Bloom can never prove absence, so an
+    * incomplete bank produces no false negatives and the reverse filter
+    * stays exact. */
   def probeBank(spark: SparkSession, df: DataFrame, buildOut: String,
       keyCol: String, reverse: Boolean = false): DataFrame = {
     import graft.data.TranscriptTable.PartCol
-    val bankRows = spark.read.parquet(s"$buildOut/parts")
-      .select(F.col(PartCol), F.col("bloom_conv")).collect()
-    require(bankRows.nonEmpty, s"empty bloom bank at $buildOut/parts")
+    import graft.spark.functions.{bloom_bank_contains, murmur64}
+    val bank = spark.read.parquet(s"$buildOut/parts")
+      .select(F.col(PartCol).as("__bank_part"), F.col("bloom_conv").as("__bloom"))
     // route with the modulus the TABLE was built with (recorded in the
     // build manifest) — an incomplete bank must not change routing
     val nParts = SketchBuildJob.recordedNParts(buildOut).getOrElse(
       throw new IllegalStateException(
         s"$buildOut/_manifest/config.json missing; cannot derive bank routing"))
-    val bank = bankRows.map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
-    val bankBc = spark.sparkContext.broadcast(bank)
-    // Bloom semantics for a part whose filter is not built yet: we cannot
-    // prove absence, so "might contain" = true (and reverse = false)
-    val contains = F.udf((part: Int, key: String) =>
-      if (key == null) false
-      else bankBc.value.get(part) match {
-        case Some(bytes) => BankCache.get(bankBc.value, part, bytes).contains(key)
-        case None => true
-      })
-    val part = F.pmod(graft.spark.functions.murmur64(F.col(keyCol)),
-      F.lit(nParts.toLong)).cast("int")
-    val pred = contains(part, F.col(keyCol))
-    df.filter(if (reverse) !pred else pred)
+    val routed = df.withColumn("__part",
+      F.pmod(murmur64(F.col(keyCol)), F.lit(nParts.toLong)).cast("int"))
+    // left join: unbuilt parts keep their probe rows with a null filter;
+    // SHUFFLE_HASH pins the co-partitioned plan (auto-broadcast of the
+    // bank would recreate the whole-bank-everywhere footprint)
+    val joined = routed.join(bank.hint("SHUFFLE_HASH"),
+      F.col("__part") === F.col("__bank_part"), "left")
+    val pred = bloom_bank_contains(F.col("__part"), F.col("__bloom"), F.col(keyCol))
+    joined.filter(if (reverse) !pred else pred)
+      .drop("__part", "__bank_part", "__bloom")
   }
 
   def main(args: Array[String]): Unit = {
@@ -69,21 +77,6 @@ object ProbeJob {
     filtered.write.mode("overwrite").parquet(argMap("--out"))
     spark.stop()
   }
-}
-
-/** Per-executor deserialized-filter cache for Bloom-bank probes: each
-  * part's filter is deserialized at most once per JVM. Returned sketches
-  * are shared across task threads — safe because `BloomSketch.contains`
-  * is thread-safe (it allocates its k-vector locally). Cache keys carry
-  * the bytes' length alongside the bank's identity hash so a (rare)
-  * identityHashCode collision between different banks cannot alias. */
-private[jobs] object BankCache {
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), graft.sketch.BloomSketch]()
-
-  def get(bank: Map[Int, Array[Byte]], part: Int, bytes: Array[Byte]): graft.sketch.BloomSketch =
-    cache.computeIfAbsent((System.identityHashCode(bank), part, bytes.length),
-      _ => graft.sketch.BloomSketch.deserialize(bytes))
 }
 
 /** Full-scan dump in stable order — the `dumphf` analog

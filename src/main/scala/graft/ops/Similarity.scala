@@ -1,9 +1,10 @@
 package graft.ops
 
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 import org.apache.spark.sql.{Column, DataFrame, functions => F}
 
 import graft.core.hash.Murmur2Kernel
+import graft.spark.functions.top_k_by
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (array<float>).
@@ -34,19 +35,35 @@ object Similarity {
   }
 
   /** Brute-force cosine top-k: for each query row, the k nearest corpus
-    * rows. Query side is broadcast (it is small by construction). */
+    * rows. Query side is broadcast (it is small by construction).
+    *
+    * The per-query top-k is a `top_k_by` partial aggregation, NOT a
+    * global window: each map task keeps a k-heap per query and the
+    * exchange moves only k rows per (query, task) — a global
+    * `row_number() OVER (PARTITION BY query)` would instead shuffle the
+    * whole |corpus| x |queries| scored product into |queries| reducer
+    * partitions and sort it there, which collapses at corpus scale. */
   def bruteForceTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int): DataFrame = {
     val joined = corpus.crossJoin(
       F.broadcast(queries.select(F.col(queryId), F.col(queryVec))))
-    val scored = joined.withColumn("cosine",
-      cosine(F.col(corpusVec), F.col(queryVec)))
-    val w = Window.partitionBy(F.col(queryId)).orderBy(F.col("cosine").desc, F.col(corpusId))
-    scored.withColumn("rank", F.row_number().over(w))
-      .filter(F.col("rank") <= k)
-      .select(F.col(queryId), F.col(corpusId), F.col("rank"), F.col("cosine"))
+    val scored = joined.select(F.col(queryId), F.col(corpusId),
+      cosine(F.col(corpusVec), F.col(queryVec)).as("cosine"))
+    topKPerQuery(scored, queryId, corpusId, k)
+  }
+
+  /** (queryId, corpusId, cosine) -> best-k rows per query with 1-based
+    * rank, ordered (cosine desc, corpusId asc) — shared rerank tail of
+    * the brute-force and LSH paths. */
+  private def topKPerQuery(scored: DataFrame, queryId: String,
+      corpusId: String, k: Int): DataFrame = {
+    scored.groupBy(F.col(queryId))
+      .agg(top_k_by(F.col(corpusId), F.col("cosine"), k).as("__topk"))
+      .select(F.col(queryId), F.posexplode(F.col("__topk")).as(Seq("__pos", "__e")))
+      .select(F.col(queryId), F.col("__e.value").as(corpusId),
+        (F.col("__pos") + 1).cast("int").as("rank"), F.col("__e.score").as("cosine"))
   }
 
   /** Deterministic Gaussian hyperplane component for (bit, dim):
@@ -61,29 +78,13 @@ object Similarity {
     math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
   }
 
-  /** SRP signature as a long column (bits <= 63). Implemented as a
-    * deterministic Scala UDF over the vector; the hyperplane matrix is
-    * materialized once per executor via a lazy broadcast-free closure. */
+  /** SRP signature as a long column (bits <= 63) — a native Catalyst
+    * expression (SrpSignatureExpr), codegen'd, reading the columnar
+    * vector in place; the hyperplane matrix is regenerated
+    * deterministically and cached per executor, never shipped. */
   def srpSignature(vec: Column, bits: Int = 16, seed: Long = 42L): Column = {
     require(bits >= 1 && bits <= 63, s"bits must be in [1,63], got $bits")
-    val f = F.udf((v: Seq[Float]) => {
-      if (v == null) null
-      else {
-        val planes = SrpPlanes.get(seed, bits, v.length)
-        var sig = 0L
-        var b = 0
-        while (b < bits) {
-          var dot = 0.0
-          val row = planes(b)
-          var d = 0
-          while (d < v.length) { dot += row(d) * v(d); d += 1 }
-          if (dot >= 0) sig |= (1L << b)
-          b += 1
-        }
-        java.lang.Long.valueOf(sig)
-      }
-    })
-    f(vec)
+    column(SrpSignatureExpr(expression(vec), bits, seed))
   }
 
   /** LSH top-k: candidates share the query's SRP bucket in at least one
@@ -110,11 +111,9 @@ object Similarity {
 
     val candidates = c.join(q, Seq("__table", "__bucket"))
       .dropDuplicates(queryId, corpusId)
-      .withColumn("cosine", cosine(F.col(corpusVec), F.col(queryVec)))
-    val w = Window.partitionBy(F.col(queryId)).orderBy(F.col("cosine").desc, F.col(corpusId))
-    candidates.withColumn("rank", F.row_number().over(w))
-      .filter(F.col("rank") <= k)
-      .select(F.col(queryId), F.col(corpusId), F.col("rank"), F.col("cosine"))
+      .select(F.col(queryId), F.col(corpusId),
+        cosine(F.col(corpusVec), F.col(queryVec)).as("cosine"))
+    topKPerQuery(candidates, queryId, corpusId, k)
   }
 }
 

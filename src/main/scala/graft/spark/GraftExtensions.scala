@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.spark.agg.{BloomAgg, BloomMergeAgg, CmsAgg, CmsMergeAgg, HllAgg, HllMergeAgg, KllAgg, KllMergeAgg, TDigestAgg, TDigestMergeAgg}
+import graft.spark.agg.{BloomAgg, BloomMergeAgg, CmsAgg, CmsMergeAgg, HeavyHittersAgg, HeavyHittersMergeAgg, HllAgg, HllMergeAgg, KllAgg, KllMergeAgg, TDigestAgg, TDigestMergeAgg, TopKByAgg}
 import graft.spark.expr._
 
 /** SQL registration for the engine: `spark.sql("SELECT graft_hash64(x)...")`.
@@ -51,11 +51,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(c, k) => GraftHash64K(c, k, "murmur2")
       case Seq(c, k, kern) => GraftHash64K(c, k, lit(kern))
     })
+    register("graft_hash32_seeded", {
+      case Seq(c, seed) => GraftHash32Seeded(c, seed, "murmur2")
+      case Seq(c, seed, k) => GraftHash32Seeded(c, seed, lit(k))
+    })
+    register("graft_hash32_k", {
+      case Seq(c, k) => GraftHash32K(c, k, "murmur2")
+      case Seq(c, k, kern) => GraftHash32K(c, k, lit(kern))
+    })
     register("bloom_sketch", {
       case Seq(c, maxSize, bpi) =>
         BloomAgg(c, litLong(maxSize), litInt(bpi)).toAggregateExpression()
       case Seq(c, maxSize, bpi, kern) =>
         BloomAgg(c, litLong(maxSize), litInt(bpi), lit(kern)).toAggregateExpression()
+      // 5-arg form exposes the reference's int-hash family
+      // (`BloomFilter.java:167-191`): longHash=false probes with
+      // getIntHashCodes semantics
+      case Seq(c, maxSize, bpi, kern, longHash) =>
+        BloomAgg(c, litLong(maxSize), litInt(bpi), lit(kern),
+          longHash = lit(longHash).toBoolean).toAggregateExpression()
+    })
+    register("hh_sketch", {
+      case Seq(c) => HeavyHittersAgg(c, 256).toAggregateExpression()
+      case Seq(c, cap) => HeavyHittersAgg(c, litInt(cap)).toAggregateExpression()
+    })
+    register("hh_merge", { case Seq(c) => HeavyHittersMergeAgg(c).toAggregateExpression() })
+    register("hh_topk", { case Seq(s, k) => HhTopK(s, k) })
+    register("hh_estimate", { case Seq(s, i) => HhEstimate(s, i) })
+    register("bloom_bank_contains", { case Seq(p, s, v) => BloomBankContains(p, s, v) })
+    register("top_k_by", {
+      case Seq(v, score, k) => TopKByAgg(v, score, litInt(k)).toAggregateExpression()
+    })
+    register("srp_signature", {
+      case Seq(v, bits) => graft.ops.SrpSignatureExpr(v, litInt(bits), 42L)
+      case Seq(v, bits, seed) => graft.ops.SrpSignatureExpr(v, litInt(bits), litLong(seed))
     })
     register("hll_sketch", {
       case Seq(c) => HllAgg(c, 14).toAggregateExpression()

@@ -123,6 +123,59 @@ case class GraftHash64Seeded(left: Expression, right: Expression, kernelName: St
     copy(left = l, right = r)
 }
 
+/** `graft_hash32_seeded(input, seed)` — explicit-seed 32-bit hash; the
+  * int-family counterpart of `graft_hash64_seeded` (`LongHash.java:44-48`
+  * exposes the full int family alongside the long one). */
+case class GraftHash32Seeded(left: Expression, right: Expression, kernelName: String)
+    extends BinaryExpression with GraftHashExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val first = checkHashable(left.dataType, "first")
+    if (first.isFailure) first else checkExact(right.dataType, IntegerType, "second")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = s"graft_hash32_seeded_$kernelName"
+
+  @transient private lazy val seeded: (Array[Byte], Int) => Int = kernel match {
+    case graft.core.hash.Murmur2Kernel => graft.core.hash.Murmur2Kernel.hash32Seeded
+    case graft.core.hash.JenkinsKernel => graft.core.hash.JenkinsKernel.hash32Seeded
+    case graft.core.hash.CWowKernel => graft.core.hash.CWowKernel.hash32Seeded
+    case graft.core.hash.Fnv1Kernel => graft.core.hash.Fnv1Kernel.hash32Seeded
+    case graft.core.hash.Fnv1aKernel => graft.core.hash.Fnv1aKernel.hash32Seeded
+    case graft.core.hash.HsiehKernel => graft.core.hash.HsiehKernel.hash32Seeded
+    case other =>
+      throw new IllegalArgumentException(s"kernel ${other.name} has no seeded form")
+  }
+
+  override protected def nullSafeEval(input: Any, seed: Any): Any =
+    seeded(childBytes(input, left.dataType), seed.asInstanceOf[Int])
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GraftHash32Seeded =
+    copy(left = l, right = r)
+}
+
+/** `graft_hash32_k(input, k)` — 32-bit k-vector multi-hash, the Spark
+  * face of `LongHash.getIntHashCodes` (`LongHash.java:44-48`); preserves
+  * each kernel's scheme (seed-by-index, chained, or PRNG-stream). */
+case class GraftHash32K(left: Expression, right: Expression, kernelName: String)
+    extends BinaryExpression with GraftHashExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val first = checkHashable(left.dataType, "first")
+    if (first.isFailure) first else checkExact(right.dataType, IntegerType, "second")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = s"graft_hash32_k_$kernelName"
+
+  override protected def nullSafeEval(input: Any, k: Any): Any =
+    new GenericArrayData(kernel.hash32K(childBytes(input, left.dataType), k.asInstanceOf[Int]))
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GraftHash32K =
+    copy(left = l, right = r)
+}
+
 /** `graft_hash64_k(input, k)` — the kernel's k-vector multi-hash
   * (`LongHash.getLongHashCodes`), preserving the per-algorithm scheme.
   * Prefer looping inside sketch aggregates; this exists for SQL users and

@@ -1,10 +1,14 @@
 package graft.spark.expr
 
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
-import graft.sketch.{BloomSketch, CmsSketch, HllSketch, KllSketch, TDigestSketch}
+import org.apache.spark.unsafe.types.UTF8String
+import graft.sketch.{BloomSketch, CmsSketch, HeavyHittersSketch, HllSketch, KllSketch, TDigestSketch}
 import graft.spark.agg.ValueBytes
 
 /** Scalar query expressions over serialized sketch buffers (BinaryType).
@@ -202,6 +206,172 @@ case class KllRank(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): KllRank =
     copy(left = l, right = r)
+}
+
+/** `hh_topk(sketchBytes, k)` — tracked items best-first as
+  * array<struct<item, cnt, lower_bound>>: SpaceSaving guarantees
+  * trueCount in [lower_bound, cnt], and counts are EXACT whenever the
+  * sketch's capacity covered the distinct-key count (no evictions). */
+case class HhTopK(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val f = SketchTypeChecks.binaryFirst(prettyName, left.dataType)
+    if (f.isFailure) f else SketchTypeChecks.exact(prettyName, right.dataType, IntegerType)
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false),
+    StructField("lower_bound", LongType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hh_topk"
+
+  @transient private lazy val cache = new SketchCache(HeavyHittersSketch.deserialize)
+
+  override protected def nullSafeEval(sketch: Any, k: Any): Any = {
+    val rows = cache.get(sketch.asInstanceOf[Array[Byte]])
+      .topK(k.asInstanceOf[Int])
+      .map { case (item, cnt, lower) =>
+        InternalRow(UTF8String.fromString(item), cnt, lower)
+      }
+    new GenericArrayData(rows.toArray[Any])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hhTopKExpr", this, classOf[HhTopK].getName)
+    nullSafeCodeGen(ctx, ev, (s, k) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.GenericArrayData) $ref.topKRows($s, $k);")
+  }
+
+  def topKRows(sketchBytes: Array[Byte], k: Int): GenericArrayData =
+    nullSafeEval(sketchBytes, k).asInstanceOf[GenericArrayData]
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HhTopK =
+    copy(left = l, right = r)
+}
+
+/** `hh_estimate(sketchBytes, item)` — upper-bound frequency of an item
+  * (the sketch's minimum counter when untracked). */
+case class HhEstimate(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val f = SketchTypeChecks.binaryFirst(prettyName, left.dataType)
+    if (f.isFailure) f else SketchTypeChecks.exact(prettyName, right.dataType, StringType)
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hh_estimate"
+
+  @transient private lazy val cache = new SketchCache(HeavyHittersSketch.deserialize)
+
+  def estimate(sketchBytes: Array[Byte], item: UTF8String): Long =
+    cache.get(sketchBytes).estimate(item.toString)
+
+  override protected def nullSafeEval(sketch: Any, item: Any): Any =
+    estimate(sketch.asInstanceOf[Array[Byte]], item.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hhEstExpr", this, classOf[HhEstimate].getName)
+    nullSafeCodeGen(ctx, ev, (s, v) => s"${ev.value} = $ref.estimate($s, $v);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HhEstimate =
+    copy(left = l, right = r)
+}
+
+/** `bloom_bank_contains(partId, sketchBytes, value)` — membership probe
+  * against a PARTITIONED Bloom bank after a part-routed join, the
+  * scale-safe `ckblm` shape: instead of collecting the whole bank to the
+  * driver and broadcasting it everywhere (O(nParts x filterBytes) on
+  * every executor), probe rows are routed to their part's filter row and
+  * this expression tests against it.
+  *
+  * Two things make the joined shape cheap:
+  *  - the deserialized filter is cached per part id, so each part's
+  *    bytes are parsed once per task, not once per row;
+  *  - `doGenCode` defers evaluating the sketch column to the cache-miss
+  *    branch, so on hits the (large) binary is never copied out of the
+  *    joined row at all.
+  *
+  * Null semantics: null value or part => false (unknown key is not a
+  * member); null sketch (part not built yet in a resuming bank) => TRUE —
+  * Bloom can never prove absence, so an unbuilt part must not produce
+  * false negatives (and the reverse/anti filter stays exact).
+  */
+case class BloomBankContains(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val p = SketchTypeChecks.exact(prettyName, first.dataType, IntegerType)
+    if (p.isFailure) return p
+    val s = SketchTypeChecks.binaryFirst(prettyName, second.dataType)
+    if (s.isFailure) return s
+    SketchTypeChecks.hashable(prettyName, third.dataType)
+  }
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "bloom_bank_contains"
+
+  /** part id -> BloomSketch | Missing; rebuilt per deserialized instance
+    * (per task), which is exactly the join's co-partitioned granularity. */
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[Int, AnyRef]()
+
+  def cached(part: Int): AnyRef = cache.get(part)
+
+  def load(part: Int, bytes: Array[Byte]): AnyRef = {
+    val sk: AnyRef =
+      if (bytes == null) BloomBankContains.Missing else BloomSketch.deserialize(bytes)
+    val prev = cache.putIfAbsent(part, sk)
+    if (prev != null) prev else sk
+  }
+
+  def test(sk: AnyRef, value: Any): Boolean = sk match {
+    case s: BloomSketch => s.contains(ValueBytes.toBytes(value, third.dataType))
+    case _ => true // unbuilt part: cannot prove absence
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val p = first.eval(input)
+    val v = third.eval(input)
+    if (p == null || v == null) false
+    else {
+      val pid = p.asInstanceOf[Int]
+      var sk = cached(pid)
+      if (sk == null) sk = load(pid, second.eval(input).asInstanceOf[Array[Byte]])
+      test(sk, v)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bankExpr", this, classOf[BloomBankContains].getName)
+    val p = first.genCode(ctx)
+    val s = second.genCode(ctx)
+    val v = third.genCode(ctx)
+    val skVar = ctx.freshName("bankSketch")
+    ev.copy(code = code"""
+      ${p.code}
+      ${v.code}
+      boolean ${ev.value} = false;
+      if (!${p.isNull} && !${v.isNull}) {
+        Object $skVar = $ref.cached(${p.value});
+        if ($skVar == null) {
+          ${s.code}
+          $skVar = $ref.load(${p.value}, ${s.isNull} ? null : ${s.value});
+        }
+        ${ev.value} = $ref.test($skVar, ${v.value});
+      }""", isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): BloomBankContains =
+    copy(first = f, second = s, third = t)
+}
+
+object BloomBankContains {
+  /** Sentinel for a routed part with no built filter yet. */
+  case object Missing
 }
 
 /** `tdigest_quantile(sketchBytes, q)` — value at quantile q in [0,1]. */

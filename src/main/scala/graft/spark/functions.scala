@@ -36,6 +36,14 @@ object functions {
   def graft_hash64_k(c: Column, k: Column, kernel: String = "murmur2"): Column =
     column(GraftHash64K(expression(c), expression(k), kernel))
 
+  /** Explicit-seed 32-bit hash (int family, `LongHash.java:44-48`). */
+  def graft_hash32_seeded(c: Column, seed: Column, kernel: String = "murmur2"): Column =
+    column(GraftHash32Seeded(expression(c), expression(seed), kernel))
+
+  /** 32-bit k-vector multi-hash (`LongHash.getIntHashCodes`). */
+  def graft_hash32_k(c: Column, k: Column, kernel: String = "murmur2"): Column =
+    column(GraftHash32K(expression(c), expression(k), kernel))
+
   // ---- sketch aggregates (binary buffers; mergeable) ----
 
   def bloom_sketch(c: Column, maxSize: Long, bitsPerItem: Int,
@@ -99,6 +107,30 @@ object functions {
 
   def tdigest_quantile(sketch: Column, q: Column): Column =
     column(TDigestQuantile(expression(sketch), expression(q)))
+
+  /** Tracked heavy hitters best-first: array<struct<item,cnt,lower_bound>>.
+    * Counts are exact when capacity covered the distinct-key count. */
+  def hh_topk(sketch: Column, k: Column): Column =
+    column(HhTopK(expression(sketch), expression(k)))
+
+  /** Upper-bound frequency of one item in a heavy-hitters sketch. */
+  def hh_estimate(sketch: Column, item: Column): Column =
+    column(HhEstimate(expression(sketch), expression(item)))
+
+  /** Partitioned-bank Bloom probe: test `value` against its routed
+    * part's filter after a part-routed join (see ProbeJob.probeBank).
+    * A null filter (unbuilt part) yields true — no false negatives. */
+  def bloom_bank_contains(partId: Column, sketch: Column, value: Column): Column =
+    column(BloomBankContains(expression(partId), expression(sketch), expression(value)))
+
+  // ---- bounded top-k (scale-safe ORDER BY score DESC LIMIT k per group) ----
+
+  /** Mergeable top-k by score: array<struct<value,score>> best-first,
+    * ties broken by ascending value. Map-side partial aggregation keeps a
+    * k-heap per group, so no global per-group sort ever happens. */
+  def top_k_by(value: Column, score: Column, k: Int): Column =
+    column(graft.spark.agg.TopKByAgg(expression(value), expression(score), k)
+      .toAggregateExpression())
 
   // ---- one-shot conveniences ----
 

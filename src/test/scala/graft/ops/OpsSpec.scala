@@ -147,6 +147,53 @@ class OpsSpec extends SparkTestBase {
     assert(hits >= 27, s"LSH self-retrieval found $hits of 30")
   }
 
+  test("srp_signature: native expression, matches local hyperplane math") {
+    val df = embs.select($"vec_id", $"embedding")
+      .withColumn("sig", Similarity.srpSignature($"embedding", 12, 42L))
+    // a Catalyst expression, not a UDF: present in the executed plan by name
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("srp_signature") && !plan.contains("UDF"), s"plan:\n$plan")
+    df.limit(25).collect().foreach { r =>
+      val v = r.getSeq[Float](1).toArray
+      val planes = SrpPlanes.get(42L, 12, v.length)
+      var expect = 0L
+      for (b <- 0 until 12) {
+        var dot = 0.0
+        for (d <- v.indices) dot += planes(b)(d) * v(d)
+        if (dot >= 0) expect |= (1L << b)
+      }
+      assert(r.getLong(2) === expect, s"vec_id=${r.getLong(0)}")
+    }
+  }
+
+  test("lsh_topk recall >= 0.9 vs brute force on planted neighborhoods") {
+    // same construction as the driver's lsh_topk query: 3 small-angle
+    // rotations of each query vector planted into the corpus; the true
+    // top-4 per query is {self, 3 rotations} and LSH must retrieve >=90%
+    // of what brute force returns
+    val qbase = embs.filter($"vec_id" < 5).select($"vec_id", $"embedding")
+    val planted = (1 to 3).map { j =>
+      qbase.select(($"vec_id" + F.lit(100000L * j)).as("vec_id"),
+        F.transform($"embedding", (x, i) =>
+          x * (F.lit(1.0f) + F.lit(0.01f * j) *
+            F.when(i % 2 === 0, F.lit(1.0f)).otherwise(F.lit(-1.0f))))
+          .as("embedding"))
+    }.reduce(_ unionAll _)
+    val corpus = embs.select($"vec_id", $"embedding").unionAll(planted)
+    val queries = qbase.select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 4))
+    val lsh = pairs(Similarity.lshTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 4, bits = 12, tables = 4))
+    val recall = bf.intersect(lsh).size.toDouble / bf.size
+    assert(recall >= 0.9, s"LSH recall vs brute force = $recall")
+    // sanity: brute force found the planted neighborhoods themselves
+    assert(bf.count { case (q, v) => v == q || v % 100000 == q } >= 18)
+  }
+
   test("quality features and token counts are exact arithmetic") {
     val row = TextAnalysis.qualityScore(
       Seq((1L, "Hello, world! This is a clean sentence with nine words.")).toDF("doc_id", "text"),

@@ -155,6 +155,109 @@ class GraftFunctionsSpec extends SparkTestBase {
     out.foreach(r => assert(r.getLong(1) > 0))
   }
 
+  test("graft_hash32_seeded / graft_hash32_k match kernels (int family)") {
+    val row = Seq("hello").toDF("s")
+      .select(
+        graft_hash32_seeded(F.col("s"), F.lit(777)).as("m"),
+        graft_hash32_seeded(F.col("s"), F.lit(3), "jenkins").as("j"),
+        graft_hash32_k(F.col("s"), F.lit(5)).as("mk"),
+        graft_hash32_k(F.col("s"), F.lit(5), "hsieh").as("hk"))
+      .head()
+    assert(row.getInt(0) === Murmur2Kernel.hash32Seeded(
+      graft.core.ByteOps.utf8("hello"), 777))
+    assert(row.getInt(1) === HashKernels.jenkins.asInstanceOf[graft.core.hash.JenkinsKernel.type]
+      .hash32Seeded(graft.core.ByteOps.utf8("hello"), 3))
+    assert(row.getSeq[Int](2) === Murmur2Kernel.hash32K("hello", 5).toSeq)
+    assert(row.getSeq[Int](3) === HashKernels.hsieh.hash32K("hello", 5).toSeq)
+    // contract pinned by the reference (HashImplTestBase.java:40-46):
+    // k-vector element 0 equals the plain hash
+    assert(row.getSeq[Int](2).head === Murmur2Kernel.hash32("hello"))
+    // SQL registration
+    val viaSql = spark.sql(
+      "SELECT graft_hash32_k('hello', 3, 'fnv1a'), graft_hash32_seeded('hello', 9)").head()
+    assert(viaSql.getSeq[Int](0) === HashKernels.fnv1a.hash32K("hello", 3).toSeq)
+  }
+
+  test("bloom int-hash family (longHash=false) reachable from SQL, reference semantics") {
+    (0 until 500).map(i => s"member__$i").toDF("s").createOrReplaceTempView("blm_items")
+    val bytes = spark.sql(
+      "SELECT bloom_sketch(s, 500, 16, 'murmur2', false) FROM blm_items")
+      .head().getAs[Array[Byte]](0)
+    // byte-identical to a local int-family sketch (BloomFilter.java:167-191)
+    val local = BloomSketch(500L, 16, longHash = false)
+    (0 until 500).foreach(i => local.put(s"member__$i"))
+    assert(java.util.Arrays.equals(bytes, local.serialize()))
+    // probing uses the int family recorded in the sketch state
+    val probe = BloomSketch.deserialize(bytes)
+    assert((0 until 500).forall(i => probe.contains(s"member__$i")))
+  }
+
+  test("top_k_by equals window top-k under any partitioning; string values too") {
+    val rows = (0 until 5000).map(i => (i % 7L, (i * 2654435761L) % 100000L,
+      ((i * 40503) % 9973).toDouble))
+    for (parts <- Seq(1, 5, 32)) {
+      val df = rows.toDF("g", "v", "score").repartition(parts)
+      val got = df.groupBy("g")
+        .agg(top_k_by(F.col("v"), F.col("score"), 10).as("tk"))
+        .select(F.col("g"), F.posexplode(F.col("tk")).as(Seq("pos", "e")))
+        .select(F.col("g"), F.col("e.value").as("v"), (F.col("pos") + 1).as("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(F.col("score").desc, F.col("v"))
+      val expect = rows.toDF("g", "v", "score")
+        .withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      assert(got === expect, s"parts=$parts")
+    }
+    // string values, with score ties broken by value ascending
+    val sdf = Seq(("a", 1.0), ("c", 1.0), ("b", 1.0), ("d", 0.5)).toDF("v", "score")
+    val top = sdf.agg(top_k_by(F.col("v"), F.col("score"), 3)).head()
+      .getSeq[org.apache.spark.sql.Row](0).map(r => (r.getString(0), r.getDouble(1)))
+    assert(top === Seq(("a", 1.0), ("b", 1.0), ("c", 1.0)))
+    // SQL registration
+    Seq("member__111", "member__112", "member__9").toDF("s")
+      .createOrReplaceTempView("topk_items")
+    val viaSql = spark.sql(
+      "SELECT top_k_by(s, length(s), 2) FROM topk_items").head()
+    assert(viaSql.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0)) ===
+      Seq("member__111", "member__112"))
+  }
+
+  test("hh_topk / hh_estimate expressions: exact when capacity covers distincts") {
+    val rows = (0 until 40).flatMap(i => Seq.fill(40 - i)(s"key$i"))
+    val df = rows.toDF("s").repartition(6)
+    val got = df.agg(hh_sketch(F.col("s"), 256).as("sk"))
+      .select(F.posexplode(hh_topk(F.col("sk"), F.lit(10))).as(Seq("pos", "e")))
+      .select(F.col("e.item"), F.col("e.cnt"), F.col("e.lower_bound"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = exact.toSeq.sortBy { case (k, c) => (-c, k) }.take(10)
+    assert(got.map(t => (t._1, t._2)).toSeq === expect)
+    got.foreach { case (_, cnt, lower) => assert(lower === cnt) } // no evictions
+    val est = df.agg(hh_sketch(F.col("s"), 256).as("sk"))
+      .select(hh_estimate(F.col("sk"), F.lit("key0"))).head().getLong(0)
+    assert(est === 40L)
+  }
+
+  test("bloom_bank_contains: routed probe, per-part cache, null filter => true") {
+    def filterFor(keys: Seq[String]): Array[Byte] = {
+      val sk = BloomSketch(1000L, 16)
+      keys.foreach(sk.put)
+      sk.serialize()
+    }
+    val bank = Seq(
+      (0, filterFor(Seq("alpha", "beta"))),
+      (1, filterFor(Seq("gamma")))).toDF("part", "sk")
+    // part 2 has no filter row at all (unbuilt) — left join yields null
+    val probes = Seq((0, "alpha"), (0, "gamma"), (1, "gamma"), (2, "anything"))
+      .toDF("part", "key")
+    val joined = probes.join(bank.hint("SHUFFLE_HASH"), Seq("part"), "left")
+    val kept = joined.filter(bloom_bank_contains(F.col("part"), F.col("sk"), F.col("key")))
+      .select("part", "key").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    // (0,gamma) is not in part 0's filter; part 2 unbuilt => kept
+    assert(kept === Set((0, "alpha"), (1, "gamma"), (2, "anything")))
+  }
+
   test("SQL end-to-end: sketch build + probe via registered functions") {
     (0 until 1000).map(i => s"item$i").toDF("s").createOrReplaceTempView("items")
     val est = spark.sql(
