@@ -12,7 +12,8 @@ BIG=$((BASE * 4))
 HEAP=${HEAP:-8g}
 
 # scala-library resolves from the local coursier cache (mirror-agnostic) or SCALA_HOME
-SCALA_LIB=${SCALA_LIB:-$(find /root/.cache/coursier/v1 "${SCALA_HOME:-/nonexistent}/lib" -name 'scala-library-2.13.*.jar' 2>/dev/null | sort -rV | head -1)}
+SCALA_LIB=${SCALA_LIB:-$(find /root/.cache/coursier/v1 ${SCALA_HOME:+"$SCALA_HOME/lib"} -name 'scala-library-2.13.*.jar' 2>/dev/null | sort -rV | head -1 || true)}
+[ -n "$SCALA_LIB" ] || { echo "scala-library jar not found (set SCALA_LIB or SCALA_HOME)" >&2; exit 1; }
 OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 CP="target/scala-2.13/g414hashspark_2.13-0.1.0.jar:$SCALA_LIB:/opt/spark/jars/*"
 

@@ -1,7 +1,6 @@
 package graft.jobs
 
-import java.nio.file.{Files, Paths}
-
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 
 import graft.spark.functions._
@@ -18,7 +17,13 @@ object ProbeJob {
 
   def probe(df: DataFrame, sketchFile: String, keyCol: String,
       reverse: Boolean = false): DataFrame = {
-    val bytes = Files.readAllBytes(Paths.get(sketchFile))
+    // sketch may live on any DFS (hdfs://, s3a://, file:)
+    val p = new HPath(sketchFile)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(p).getLen.toInt
+    val bytes = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, bytes) finally in.close()
     val pred = bloom_might_contain(F.lit(bytes), F.col(keyCol))
     df.filter(if (reverse) !pred else pred)
   }
@@ -50,7 +55,8 @@ object ProbeJob {
       .select(F.col(PartCol).as("__bank_part"), F.col("bloom_conv").as("__bloom"))
     // route with the modulus the TABLE was built with (recorded in the
     // build manifest) — an incomplete bank must not change routing
-    val nParts = SketchBuildJob.recordedNParts(buildOut).getOrElse(
+    val nParts = SketchBuildJob.recordedNParts(buildOut,
+      spark.sparkContext.hadoopConfiguration).getOrElse(
       throw new IllegalStateException(
         s"$buildOut/_manifest/config.json missing; cannot derive bank routing"))
     val routed = df.withColumn("__part",

@@ -1,9 +1,7 @@
 package graft.jobs
 
-import java.nio.file.{Files, Path, Paths, StandardOpenOption}
-
-import scala.jdk.CollectionConverters._
-
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 
 import graft.data.TranscriptTable
@@ -66,32 +64,45 @@ object SketchBuildJob {
       textLenP50: Double,
       textLenP99: Double)
 
-  private def manifestDir(out: String): Path = Paths.get(out, "_manifest")
+  private def manifestDir(out: String): HPath = new HPath(out, "_manifest")
   private def partsDir(out: String): String = s"$out/parts"
-  private def finalDir(out: String): Path = Paths.get(out, "final")
+  private def finalDir(out: String): HPath = new HPath(out, "final")
 
-  def completedParts(out: String): Set[Int] = {
+  /** Manifest/config IO goes through the Hadoop FileSystem API, so `out`
+    * may be any DFS the cluster mounts (hdfs://, s3a://, file:) — lineage
+    * and resume state live next to the data, not on one driver's disk. */
+  private def writeUtf8(fs: FileSystem, p: HPath, s: String): Unit = {
+    val o = fs.create(p, true)
+    try o.write(s.getBytes("UTF-8")) finally o.close()
+  }
+
+  private def readUtf8(fs: FileSystem, p: HPath): String = {
+    val len = fs.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    new String(buf, "UTF-8")
+  }
+
+  def completedParts(out: String, conf: Configuration = new Configuration()): Set[Int] = {
     val dir = manifestDir(out)
-    if (!Files.exists(dir)) Set.empty
-    else {
-      val stream = Files.list(dir)
-      try stream.iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("part-") && s.endsWith(".json") =>
-          s.stripPrefix("part-").stripSuffix(".json").toInt }
-        .toSet
-      finally stream.close()
-    }
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).iterator
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("part-") && s.endsWith(".json") =>
+        s.stripPrefix("part-").stripSuffix(".json").toInt }
+      .toSet
   }
 
   /** The routing modulus recorded at build time — probeBank must route
     * with the TABLE part count, never with however many parts happen to
     * be completed so far. */
-  def recordedNParts(out: String): Option[Int] = {
-    val f = Paths.get(out, "_manifest", "config.json")
-    if (!Files.exists(f)) None
-    else "\\\"n_parts\\\":(\\d+)".r.findFirstMatchIn(
-      new String(Files.readAllBytes(f), "UTF-8")).map(_.group(1).toInt)
+  def recordedNParts(out: String, conf: Configuration = new Configuration()): Option[Int] = {
+    val f = new HPath(manifestDir(out), "config.json")
+    val fs = f.getFileSystem(conf)
+    if (!fs.exists(f)) None
+    else "\\\"n_parts\\\":(\\d+)".r.findFirstMatchIn(readUtf8(fs, f)).map(_.group(1).toInt)
   }
 
   /** The per-part sketch aggregation — one row per part_id. */
@@ -108,20 +119,21 @@ object SketchBuildJob {
   }
 
   def run(spark: SparkSession, c: Config): BuildResult = {
-    Files.createDirectories(manifestDir(c.out))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val mfs = manifestDir(c.out).getFileSystem(conf)
+    mfs.mkdirs(manifestDir(c.out))
     val df = TranscriptTable.read(spark, c.input)
 
     val allParts = df.select(TranscriptTable.PartCol).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
     // record the routing modulus once (max part id + 1 of the full table)
-    val cfgFile = manifestDir(c.out).resolve("config.json")
-    if (!Files.exists(cfgFile)) {
+    val cfgFile = new HPath(manifestDir(c.out), "config.json")
+    if (!mfs.exists(cfgFile)) {
       val cfgJson = "{" + "\"n_parts\":" + (allParts.max + 1) +
         ",\"input\":\"" + c.input + "\"}"
-      Files.write(cfgFile, cfgJson.getBytes("UTF-8"),
-        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      writeUtf8(mfs, cfgFile, cfgJson)
     }
-    val done = completedParts(c.out)
+    val done = completedParts(c.out, conf)
     val pendingAll = allParts.filterNot(done)
     val pending = c.maxPartsPerRun.fold(pendingAll)(pendingAll.take)
 
@@ -152,16 +164,14 @@ object SketchBuildJob {
                |"predicate":"${TranscriptTable.PartCol}=${m.partId}",
                |"output":"${partsDir(c.out)}/${TranscriptTable.PartCol}=${m.partId}"}"""
               .stripMargin.replace("\n", "")
-          Files.write(manifestDir(c.out).resolve(s"part-${m.partId}.json"),
-            json.getBytes("UTF-8"),
-            StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+          writeUtf8(mfs, new HPath(manifestDir(c.out), s"part-${m.partId}.json"), json)
           m
         }.toSeq
       }
 
     // global rollup over ALL completed parts (previous + this run):
     // reads only the per-part sketch rows — O(parts), not O(rows)
-    val nowDone = completedParts(c.out)
+    val nowDone = completedParts(c.out, conf)
     val finalRow = spark.read.parquet(partsDir(c.out))
       .filter(F.col(TranscriptTable.PartCol).isin(nowDone.toSeq: _*))
       .agg(
@@ -177,10 +187,12 @@ object SketchBuildJob {
     val hllTool = HllSketch.deserialize(finalRow.getAs[Array[Byte]]("hll_tool"))
     val kll = KllSketch.deserialize(finalRow.getAs[Array[Byte]]("kll_textlen"))
 
-    Files.createDirectories(finalDir(c.out))
-    def dump(name: String, bytes: Array[Byte]): Unit =
-      Files.write(finalDir(c.out).resolve(name), bytes,
-        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    val ffs = finalDir(c.out).getFileSystem(conf)
+    ffs.mkdirs(finalDir(c.out))
+    def dump(name: String, bytes: Array[Byte]): Unit = {
+      val o = ffs.create(new HPath(finalDir(c.out), name), true)
+      try o.write(bytes) finally o.close()
+    }
     dump("hll_conv.bin", finalRow.getAs[Array[Byte]]("hll_conv"))
     dump("hll_tool.bin", finalRow.getAs[Array[Byte]]("hll_tool"))
     dump("cms_roletool.bin", finalRow.getAs[Array[Byte]]("cms_roletool"))
@@ -203,8 +215,7 @@ object SketchBuildJob {
          |"textlen_p50":${result.textLenP50},"textlen_p99":${result.textLenP99},
          |"parts_done":${nowDone.size},"parts_this_run":${processed.size}}"""
         .stripMargin.replace("\n", "")
-    Files.write(finalDir(c.out).resolve("summary.json"), summary.getBytes("UTF-8"),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    writeUtf8(ffs, new HPath(finalDir(c.out), "summary.json"), summary)
     result
   }
 

@@ -5,14 +5,17 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, functions => F}
 import graft.core.hash.Murmur2Kernel
 
 /** Multimodal (image/audio/video) columns for training-data pipelines:
-  * opaque binary content + typed metadata, with the decode/transform
-  * steps STUBBED behind deterministic fakes (this container has no image
-  * or audio codecs) while the Spark-side plumbing — schema, size-aware
+  * opaque binary content + typed metadata. IMAGE decode is REAL for the
+  * JDK-native codecs (png/jpeg/gif/bmp via `javax.imageio` — present on
+  * every executor with no extra jars); audio/video decode and formats the
+  * JDK lacks (webp) remain deterministic fakes behind documented `STUB:`
+  * fallbacks, while the Spark-side plumbing — schema, size-aware
   * partitioning, batch iteration, frame explosion — is real and tested.
   *
-  * Swap-in points are marked `STUB:`; a real deployment replaces the fake
-  * with a codec call (JVM) or a Pandas-UDF/`mapInPandas` stage (Python),
-  * keeping every signature and partitioning decision unchanged.
+  * Remaining swap-in points are marked `STUB:`; a real deployment
+  * replaces the fake with a codec call (JVM) or a
+  * Pandas-UDF/`mapInPandas` stage (Python), keeping every signature and
+  * partitioning decision unchanged.
   */
 object Multimodal {
 
@@ -93,19 +96,65 @@ object Multimodal {
     df.repartition(parts, graft.spark.functions.murmur64(F.col(contentCol)))
   }
 
-  /** Decode images. STUB: a real pipeline calls an image codec here
-    * (e.g. `javax.imageio` or a mapInPandas+PIL stage); the fake returns
-    * the asset's recorded dimensions plus a murmur fingerprint of the
-    * encoded bytes, so downstream joins/dedup logic is fully exercised
-    * and deterministic. Batch shape (mapPartitions over an iterator,
-    * never materializing a partition in memory) is the real contract. */
+  /** Decode one encoded image with the JDK-native codecs (`javax.imageio`:
+    * png/jpeg/gif/bmp ship with the JRE — no external library). Returns
+    * (width, height, channels, pixelsFingerprint) or None when no
+    * installed codec recognizes the bytes. The fingerprint chains a
+    * seeded murmur over row-major ARGB rows, so it is a deterministic
+    * function of the DECODED PIXELS (two different encodings of the same
+    * image fingerprint identically) with O(width) scratch memory. */
+  def decodeImage(content: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val channels = img.getColorModel.getNumComponents
+        val rowInts = new Array[Int](w)
+        val rowBytes = new Array[Byte](w * 4)
+        var fp = 0L
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, rowInts, 0, w)
+          var x = 0
+          while (x < w) {
+            val p = rowInts(x)
+            rowBytes(x * 4) = (p >>> 24).toByte
+            rowBytes(x * 4 + 1) = (p >>> 16).toByte
+            rowBytes(x * 4 + 2) = (p >>> 8).toByte
+            rowBytes(x * 4 + 3) = p.toByte
+            x += 1
+          }
+          fp = Murmur2Kernel.hash64Seeded(rowBytes, fp)
+          y += 1
+        }
+        Some((w, h, channels, fp))
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** Decode images: REAL for the JDK-native codecs (png/jpeg/gif/bmp via
+    * `javax.imageio`, available on every executor without extra jars);
+    * formats the JDK cannot parse (webp, synthetic test bytes) fall back
+    * to the documented deterministic fake — recorded dimensions plus a
+    * murmur fingerprint of the ENCODED bytes — so downstream joins/dedup
+    * logic stays fully exercised either way. Batch shape (mapPartitions
+    * over an iterator, never materializing a partition in memory) is the
+    * scale contract. */
   def decodeImages(assets: Dataset[Asset]): Dataset[DecodedImage] = {
     import assets.sparkSession.implicits._
     assets.filter(_.kind == "image").mapPartitions { it =>
       it.map { a =>
-        // STUB: decode(a.content) would go here
-        DecodedImage(a.asset_id, a.width, a.height, 3,
-          Murmur2Kernel.hash64(a.content))
+        decodeImage(a.content) match {
+          case Some((w, h, ch, fp)) => DecodedImage(a.asset_id, w, h, ch, fp)
+          case None =>
+            // STUB fallback: no installed codec for these bytes
+            DecodedImage(a.asset_id, a.width, a.height, 3,
+              Murmur2Kernel.hash64(a.content))
+        }
       }
     }
   }

@@ -4,10 +4,10 @@ import org.apache.spark.sql.{functions => F}
 
 import graft.spark.SparkTestBase
 
-/** Multimodal plumbing tests: deterministic generation, size-aware
-  * partitioning, stubbed decode/resize/frame-sample pipelines, and
-  * binary dedup — everything except the codec itself, which is an
-  * explicit stub. */
+/** Multimodal tests: deterministic generation, size-aware partitioning,
+  * REAL JDK-codec image decode (png via javax.imageio) with the
+  * deterministic-fake fallback, resize/frame-sample pipelines, and
+  * binary dedup. */
 class MultimodalSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -47,6 +47,39 @@ class MultimodalSpec extends SparkTestBase {
       Multimodal.decodeImages(assets.repartition(13)), 224, 224)
       .collect().sortBy(_.asset_id).map(_.pixels_fingerprint).toSeq
     assert(r1 === r2)
+  }
+
+  test("real PNG/JPEG decode via javax.imageio: dims, channels, pixel fingerprint") {
+    // deterministic synthetic image, written through the JDK's own codecs
+    def makePng(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((x * 31 + y * 17) * 2654435761L).toInt & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val png = makePng(40, 25)
+    val Some((w, h, ch, fp)) = Multimodal.decodeImage(png)
+    assert(w === 40 && h === 25 && ch === 3)
+    // fingerprint is a function of the decoded PIXELS: a jpeg... would be
+    // lossy, but a second png encoding of the same pixels matches exactly
+    assert(Multimodal.decodeImage(makePng(40, 25)).get._4 === fp)
+    assert(Multimodal.decodeImage(makePng(40, 26)).get._4 !== fp)
+
+    // through the Spark pipeline: a real png asset decodes with REAL
+    // dimensions (ignoring the recorded metadata), fake bytes fall back
+    val rows = Seq(
+      Multimodal.Asset(1L, "image", png, 999, 999, 0, "png"),
+      Multimodal.Asset(2L, "image", Array.fill[Byte](2048)(7), 64, 32, 0, "webp"))
+    val ds = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[Multimodal.Asset])
+    val out = Multimodal.decodeImages(ds).collect().sortBy(_.asset_id)
+    assert(out(0) === Multimodal.DecodedImage(1L, 40, 25, 3, fp))
+    assert(out(1).width === 64 && out(1).height === 32) // STUB fallback path
+    assert(out(1).pixels_fingerprint ===
+      graft.core.hash.Murmur2Kernel.hash64(rows(1).content))
   }
 
   test("frame sampling explodes one row per sampled frame, bounded by duration") {

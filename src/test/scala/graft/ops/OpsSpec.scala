@@ -106,6 +106,19 @@ class OpsSpec extends SparkTestBase {
     assert(pairs.filter($"cosine" < 0.999).count() === 0)
   }
 
+  test("top-k plan shape: partial aggregation, no global window sort") {
+    val queries = embs.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val plan = Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 5)
+      .queryExecution.executedPlan.toString
+    // the per-query top-k must be a map-side partial aggregate (bounded
+    // heap), never a row_number window over the full scored product
+    assert(!plan.contains("Window"), s"top-k regressed to a window:\n$plan")
+    assert(plan.contains("partial_top_k_by"),
+      s"top-k lost its partial-aggregation split:\n$plan")
+  }
+
   test("brute-force cosine top-k matches local exact computation") {
     val queries = embs.filter($"vec_id" < 3)
     val got = Similarity.bruteForceTopK(embs, "vec_id", "embedding",

@@ -252,7 +252,13 @@ class GraftFunctionsSpec extends SparkTestBase {
     val probes = Seq((0, "alpha"), (0, "gamma"), (1, "gamma"), (2, "anything"))
       .toDF("part", "key")
     val joined = probes.join(bank.hint("SHUFFLE_HASH"), Seq("part"), "left")
-    val kept = joined.filter(bloom_bank_contains(F.col("part"), F.col("sk"), F.col("key")))
+    val filtered = joined.filter(bloom_bank_contains(F.col("part"), F.col("sk"), F.col("key")))
+    // plan shape: the hint pins a co-partitioned shuffle-hash join — the
+    // bank must never be broadcast whole to every executor
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin") && !plan.contains("BroadcastHashJoin"),
+      s"bank join lost its routed shape:\n$plan")
+    val kept = filtered
       .select("part", "key").collect().map(r => (r.getInt(0), r.getString(1))).toSet
     // (0,gamma) is not in part 0's filter; part 2 unbuilt => kept
     assert(kept === Set((0, "alpha"), (1, "gamma"), (2, "anything")))
