@@ -7,7 +7,9 @@ cd "$(dirname "$0")/.."
 
 CORPUS=${CORPUS:-/tmp/graft_bench/transcripts}
 JSON=${JSON:-/tmp/graft_bench/levels.jsonl}
-BASE=${BASE_CORES:-8}
+# default = the blessed N->4N pair (local[4] -> local[16], BENCH.md);
+# BASE_CORES=8 measures the full-machine-width pair against the DRAM wall
+BASE=${BASE_CORES:-4}
 BIG=$((BASE * 4))
 HEAP=${HEAP:-8g}
 
