@@ -50,18 +50,43 @@ object TextOps {
 
   /** k-min-hash signature over token shingles (Broder 1997): element i is
     * the minimum of murmur64(shingle, seed=i) — the reference's
-    * seed-by-index multi-hash scheme applied to near-dup detection. */
+    * seed-by-index multi-hash scheme applied to near-dup detection.
+    *
+    * Hot path of the minhash-LSH dedup pipeline (one call per document):
+    * shingles are deduplicated through a primitive-friendly java HashSet
+    * and iterated without closures; jstack sampling showed the immutable
+    * Set building dominating over the murmur work itself. */
   def minhashSignature(s: String, numHashes: Int, shingleSize: Int): Array[Long] = {
-    val sh = shingles(s, shingleSize)
     val sig = Array.fill(numHashes)(Long.MaxValue)
-    sh.foreach { g =>
-      val bytes = ByteOps.utf8(g)
-      var i = 0
-      while (i < numHashes) {
-        val h = Murmur2Kernel.hash64Seeded(bytes, i.toLong)
-        if (h < sig(i)) sig(i) = h
-        i += 1
+    val toks = tokens(s)
+    val seen = new java.util.HashSet[String]()
+    val nShingles = if (toks.length < shingleSize) toks.length
+      else toks.length - shingleSize + 1
+    val sb = new java.lang.StringBuilder(64)
+    var start = 0
+    while (start < nShingles) {
+      val g: String =
+        if (toks.length < shingleSize) toks(start)
+        else {
+          sb.setLength(0)
+          var j = 0
+          while (j < shingleSize) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(start + j))
+            j += 1
+          }
+          sb.toString
+        }
+      if (seen.add(g)) {
+        val bytes = ByteOps.utf8(g)
+        var i = 0
+        while (i < numHashes) {
+          val h = Murmur2Kernel.hash64Seeded(bytes, i.toLong)
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
       }
+      start += 1
     }
     sig
   }

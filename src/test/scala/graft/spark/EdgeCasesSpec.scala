@@ -97,6 +97,48 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(row.getDouble(1) === 3.0)
   }
 
+  test("top_k_by edges: empty group via filter, k > group size, null values/scores skipped") {
+    // empty relation: empty heap, empty array
+    val empty = spark.range(0).select(F.col("id").as("v"), F.col("id").cast("double").as("s"))
+    assert(empty.agg(top_k_by($"v", $"s", 3)).head().getSeq[Any](0).isEmpty)
+    // k larger than the group: all rows come back, still sorted
+    val small = Seq((1L, 2.0), (2L, 1.0)).toDF("v", "s")
+    val rows = small.agg(top_k_by($"v", $"s", 10)).head()
+      .getSeq[org.apache.spark.sql.Row](0).map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows === Seq((1L, 2.0), (2L, 1.0)))
+    // null value or null score rows are skipped, not counted against k
+    val withNulls = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, null), (null, 5.0), (2L, 3.0), (3L, 4.0)).toDF("v", "s")
+    val kept = withNulls.agg(top_k_by($"v", $"s", 2)).head()
+      .getSeq[org.apache.spark.sql.Row](0).map(_.getLong(0))
+    assert(kept === Seq(3L, 2L))
+  }
+
+  test("hh_topk edges: k > tracked count; empty sketch; absent-key estimate") {
+    val sk = Seq("a", "b", "a").toDF("s").agg(hh_sketch($"s", 8).as("sk"))
+    val all = sk.select(hh_topk($"sk", F.lit(100))).head()
+      .getSeq[org.apache.spark.sql.Row](0).map(r => (r.getString(0), r.getLong(1)))
+    assert(all === Seq(("a", 2L), ("b", 1L)))
+    // estimate of an untracked key with spare capacity is 0 (minCount)
+    assert(sk.select(hh_estimate($"sk", F.lit("zzz"))).head().getLong(0) === 0L)
+    val emptySk = spark.range(0).select(F.col("id").cast("string").as("s"))
+      .agg(hh_sketch($"s", 8).as("sk"))
+    assert(emptySk.select(hh_topk($"sk", F.lit(5))).head().getSeq[Any](0).isEmpty)
+  }
+
+  test("srp_signature edges: null vector yields null; empty array is deterministic") {
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f)),
+      (2L, Seq.empty[Float])).toDF("id", "v")
+      .unionAll(Seq((3L, null.asInstanceOf[Seq[Float]])).toDF("id", "v"))
+      .select(F.col("id"), graft.ops.Similarity.srpSignature(F.col("v"), 8).as("sig"))
+    val rows = df.collect().sortBy(_.getLong(0))
+    assert(!rows(0).isNullAt(1))
+    // zero-dim vector: every dot product is 0.0 => all `bits` set
+    assert(rows(1).getLong(1) === 0xffL)
+    assert(rows(2).isNullAt(1))
+  }
+
   test("oversized Bloom config fails loudly instead of silently wrapping") {
     val e = intercept[Exception](
       graft.sketch.BloomSketch(1000000000000L, 16))

@@ -69,6 +69,29 @@ class StreamingSketchSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: first occurrence wins across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val deduped = graft.ops.StreamingDedup.firstSeen(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = deduped.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_out").start()
+    try {
+      // batch 1: one in-batch duplicate (min id 1 wins for "alpha")
+      input.addData((3L, "alpha"), (1L, "alpha"), (2L, "beta"))
+      q.processAllAvailable()
+      def seen(): Set[Long] = spark.sql("SELECT doc_id FROM dedup_out")
+        .collect().map(_.getLong(0)).toSet
+      assert(seen() === Set(1L, 2L))
+      // batch 2: cross-batch duplicate suppressed by state; new text passes
+      input.addData((4L, "alpha"), (5L, "gamma"))
+      q.processAllAvailable()
+      assert(seen() === Set(1L, 2L, 5L))
+    } finally q.stop()
+  }
+
   test("windowed streaming aggregation with watermark accepts sketch aggregates") {
     val dir = Files.createTempDirectory("graft-stream-w").toString
     val data = s"$dir/in"
