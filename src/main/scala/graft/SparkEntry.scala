@@ -164,6 +164,18 @@ object SparkEntry {
         .select(F.col("o_orderkey")).orderBy("o_orderkey")
     }),
 
+    // Bloom-accelerated exact semi join (ckblm as a join pushdown): the
+    // probe side is prefiltered by the build side's key sketch before
+    // any exchange, then exact-verified — result equals a plain semi
+    // join, so the DuckDB oracle is exact.
+    "bloom_semi_join" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val smallParts = read(s, dir, "part").filter(F.col("p_size") <= 5)
+      graft.ops.BloomJoin.semi(li, "l_partkey", smallParts, "p_partkey")
+        .select(F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_partkey"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // ---- HashFile lookup analogs (SURVEY.md §2.3): lookups become
     // broadcast joins; lineitem is the multimap (key = l_orderkey,
     // insertion order = l_linenumber, the reference's duplicate-key
@@ -322,6 +334,11 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "bloom_semi_join" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "kv_get_first" ->
       """SELECT l_orderkey, l_partkey, l_quantity FROM (

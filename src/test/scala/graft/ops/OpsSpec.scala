@@ -207,6 +207,24 @@ class OpsSpec extends SparkTestBase {
     assert(bf.count { case (q, v) => v == q || v % 100000 == q } >= 18)
   }
 
+  test("bloom semi/anti joins are exact vs plain joins; prefilter is in the plan") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val parts = spark.read.parquet(s"$sf/part.parquet").filter($"p_size" <= 5)
+    val semi = BloomJoin.semi(li, "l_partkey", parts, "p_partkey")
+    val anti = BloomJoin.anti(li, "l_partkey", parts, "p_partkey")
+    val exactSemi = li.join(parts.select($"p_partkey".as("l_partkey")).distinct(),
+      Seq("l_partkey"), "left_semi")
+    val exactAnti = li.join(parts.select($"p_partkey".as("l_partkey")).distinct(),
+      Seq("l_partkey"), "left_anti")
+    assert(semi.count() === exactSemi.count())
+    assert(anti.count() === exactAnti.count())
+    assert(semi.count() + anti.count() === li.count())
+    assert(semi.exceptAll(exactSemi).isEmpty && exactSemi.exceptAll(semi).isEmpty)
+    // the bloom prefilter sits in the probe-side scan stage, before the join
+    val plan = semi.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), s"prefilter missing:\n$plan")
+  }
+
   test("quality features and token counts are exact arithmetic") {
     val row = TextAnalysis.qualityScore(
       Seq((1L, "Hello, world! This is a clean sentence with nine words.")).toDF("doc_id", "text"),
