@@ -9,6 +9,10 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Scala optimizer: compile-time inlining of the @inline byte gathers and
+// intra-module helpers in the hash hot loops (JIT usually gets there too,
+// but this removes the dependence on callsite-polymorphism luck).
+ThisBuild / scalacOptions ++= Seq("-opt:inline:graft.**")
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
