@@ -181,14 +181,17 @@ object SparkEntry {
     // insertion order = l_linenumber, the reference's duplicate-key
     // ordering contract, RigorousHashFileTestBase.java:74-90) ----
 
-    // get(key): first value per key, keys probed from a small set
+    // get(key): first value per key, keys probed from a small set.
+    // The ordering is TOTAL (linenumber can repeat in the testdata, and a
+    // rank-1 under a partial order would be engine-dependent).
     "kv_get_first" -> ((s, dir) => {
       val li = read(s, dir, "lineitem")
       val probeKeys = read(s, dir, "orders")
         .filter(F.col("o_orderstatus") === "P")
         .select(F.col("o_orderkey").as("l_orderkey"))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("l_orderkey").orderBy("l_linenumber")
+        .partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_quantity")
       li.join(F.broadcast(probeKeys), "l_orderkey")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") === 1)
@@ -204,7 +207,7 @@ object SparkEntry {
         .select(F.col("o_orderkey").as("l_orderkey"))
       li.join(F.broadcast(probeKeys), "l_orderkey")
         .select(F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_partkey"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")
     }),
 
     // ---- training-data ops over the documents/embeddings tables ----
@@ -234,6 +237,22 @@ object SparkEntry {
         TextAnalysis.token_count(F.col("text")).cast("long").as("n_tokens"),
         TextAnalysis.subword_count(F.col("text")).cast("long").as("n_subwords"))
         .orderBy("doc_id")
+    }),
+
+    // composite curation pipeline — the operators composed the way a
+    // training-data job actually chains them: quality-filter -> exact
+    // dedup (min id per distinct text among survivors) -> per-language
+    // token budget. Exact DuckDB oracle end to end.
+    "pipeline_curation" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val scored = TextAnalysis.qualityScore(docs, "text")
+        .filter(F.col("quality_score") >= 0.7)
+      val kept = Dedup.exactDedup(scored, "doc_id", "text")
+      scored.join(kept, "doc_id")
+        .groupBy(F.col("lang"))
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum(F.col("n_tokens").cast("long")).as("total_tokens"))
+        .orderBy("lang")
     }),
 
     // brute-force cosine top-k ANN baseline; ranks (not float scores) so
@@ -343,7 +362,8 @@ object SparkEntry {
     "kv_get_first" ->
       """SELECT l_orderkey, l_partkey, l_quantity FROM (
         |  SELECT li.l_orderkey, li.l_partkey, li.l_quantity,
-        |    row_number() OVER (PARTITION BY li.l_orderkey ORDER BY li.l_linenumber) AS rn
+        |    row_number() OVER (PARTITION BY li.l_orderkey
+        |      ORDER BY li.l_linenumber, li.l_partkey, li.l_quantity) AS rn
         |  FROM lineitem li
         |  JOIN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P') p
         |    ON li.l_orderkey = p.o_orderkey
@@ -354,7 +374,7 @@ object SparkEntry {
         |FROM lineitem li
         |JOIN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P') p
         |  ON li.l_orderkey = p.o_orderkey
-        |ORDER BY li.l_orderkey, li.l_linenumber""".stripMargin,
+        |ORDER BY li.l_orderkey, li.l_linenumber, li.l_partkey""".stripMargin,
 
     "exact_dedup" ->
       """SELECT min(doc_id) AS doc_id FROM (
@@ -406,6 +426,36 @@ object SparkEntry {
       """SELECT event_type || ':' || CAST(user_id % 10 AS VARCHAR) AS item,
         |  count(*) AS cnt
         |FROM events GROUP BY 1 ORDER BY cnt DESC, item LIMIT 25""".stripMargin,
+
+    "pipeline_curation" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang, text,
+        |    length(text) AS n_chars,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+        |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+        |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha
+        |  FROM documents
+        |), rat AS (
+        |  SELECT doc_id, lang, text, n_tokens,
+        |    CASE WHEN n_chars > 0 THEN round(punct::double / n_chars, 4) ELSE 0.0 END AS punct_ratio,
+        |    CASE WHEN n_chars > 0 THEN round(digits::double / n_chars, 4) ELSE 0.0 END AS digit_ratio,
+        |    CASE WHEN n_chars > 0 THEN round(alpha::double / n_chars, 4) ELSE 0.0 END AS alpha_ratio
+        |  FROM f
+        |), r AS (
+        |  SELECT doc_id, lang, text, n_tokens,
+        |    round((CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 0.4 ELSE 0.0 END)
+        |        + (CASE WHEN alpha_ratio >= 0.6 THEN 0.3 ELSE 0.0 END)
+        |        + (CASE WHEN punct_ratio <= 0.1 THEN 0.2 ELSE 0.0 END)
+        |        + (CASE WHEN digit_ratio <= 0.2 THEN 0.1 ELSE 0.0 END), 4) AS quality_score
+        |  FROM rat
+        |), q AS (SELECT * FROM r WHERE quality_score >= 0.7),
+        |d AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM q JOIN d USING (doc_id)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "similarity_topk" ->
       """SELECT query_id, vec_id, rank FROM (
