@@ -51,6 +51,54 @@ class SketchAccuracySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](HllSketch(12).merge(HllSketch(13)))
   }
 
+  test("HLL sparse mode: tiny buffers for small groups, identical estimator") {
+    // a handful of values stays sparse and serializes to O(n), not 2^p
+    val small = HllSketch(14)
+    (0 until 20).foreach(i => small.update(s"s$i"))
+    assert(small.isSparse)
+    val bytes = small.serialize()
+    assert(bytes.length < 200, s"sparse bytes = ${bytes.length}")
+    assert(math.abs(HllSketch.deserialize(bytes).estimate() - 20) <= 1)
+    // upgrade happens at the occupancy threshold and estimator stays in-bound
+    val big = HllSketch(12)
+    (0 until 5000).foreach(i => big.update(s"b$i"))
+    assert(!big.isSparse)
+    assert(math.abs(big.estimate() - 5000) / 5000.0 <= 3 * HllSketch.standardError(12))
+  }
+
+  test("HLL sparse canonical bytes: insertion order, splits and merges irrelevant") {
+    val items = (0 until 100).map(i => s"item-$i") // < threshold at p=14: stays sparse
+    def of(xs: Seq[String]): HllSketch = {
+      val s = HllSketch(14)
+      xs.foreach(s.update)
+      s
+    }
+    val a = of(items)
+    val b = of(new scala.util.Random(7).shuffle(items))
+    assert(java.util.Arrays.equals(a.serialize(), b.serialize()))
+    // sparse+sparse merge == single-pass build
+    val halves = items.grouped(50).toSeq.map(of)
+    assert(java.util.Arrays.equals(halves.reduceLeft(_ merge _).serialize(), a.serialize()))
+    // mixed sparse/dense merges converge to the same dense bytes
+    val many = (0 until 30000).map(i => s"conv-$i")
+    val whole = of(many ++ items)
+    val m1 = of(many).merge(of(items)) // dense <- sparse
+    val m2 = of(items).merge(of(many)) // sparse <- dense
+    assert(java.util.Arrays.equals(m1.serialize(), whole.serialize()))
+    assert(java.util.Arrays.equals(m2.serialize(), whole.serialize()))
+    // round-1 (version 1) dense wire format still deserializes: same
+    // layout as v2-dense minus the mode byte, version tag 1
+    val v2 = whole.serialize()
+    val modePos = 4 + 1 + 4 + "murmur2".length + 4
+    val v1 = new Array[Byte](v2.length - 1)
+    System.arraycopy(v2, 0, v1, 0, modePos)
+    System.arraycopy(v2, modePos + 1, v1, modePos, v2.length - modePos - 1)
+    v1(4) = HllSketch.VersionDenseOnly
+    val legacy = HllSketch.deserialize(v1)
+    assert(legacy.estimate() === whole.estimate())
+    assert(java.util.Arrays.equals(legacy.serialize(), v2))
+  }
+
   test("CMS: estimate >= true, and <= true + eps*N for probed keys") {
     val d = 5
     val w = 1 << 14
