@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.spark.agg.{BloomAgg, BloomMergeAgg, CmsAgg, CmsMergeAgg, HeavyHittersAgg, HeavyHittersMergeAgg, HllAgg, HllMergeAgg, KllAgg, KllMergeAgg, TDigestAgg, TDigestMergeAgg, TopKByAgg}
+import graft.spark.agg.{BloomAgg, BloomMergeAgg, CmsAgg, CmsMergeAgg, CmsWeightedAgg, HeavyHittersAgg, HeavyHittersMergeAgg, HllAgg, HllMergeAgg, KllAgg, KllMergeAgg, TDigestAgg, TDigestMergeAgg, TopKByAgg}
 import graft.spark.expr._
 
 /** SQL registration for the engine: `spark.sql("SELECT graft_hash64(x)...")`.
@@ -74,6 +74,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("hh_sketch", {
       case Seq(c) => HeavyHittersAgg(c, 256).toAggregateExpression()
       case Seq(c, cap) => HeavyHittersAgg(c, litInt(cap)).toAggregateExpression()
+    })
+    register("hh_sketch_weighted", {
+      case Seq(c, w) => HeavyHittersAgg(c, 256, Some(w)).toAggregateExpression()
+      case Seq(c, w, cap) =>
+        HeavyHittersAgg(c, litInt(cap), Some(w)).toAggregateExpression()
+    })
+    register("cms_sketch_weighted", {
+      case Seq(k, w) => CmsWeightedAgg(k, w, 5, 1 << 14).toAggregateExpression()
+      case Seq(k, w, d, width) =>
+        CmsWeightedAgg(k, w, litInt(d), litInt(width)).toAggregateExpression()
     })
     register("hh_merge", { case Seq(c) => HeavyHittersMergeAgg(c).toAggregateExpression() })
     register("hh_topk", { case Seq(s, k) => HhTopK(s, k) })

@@ -188,6 +188,67 @@ case class CmsAgg(
     copy(child = c.head)
 }
 
+/** `cms_sketch_weighted(key, weight, depth, width)` — count-min with
+  * per-row additive weights (e.g. token counts per document): estimates
+  * bound sum(weight) per key instead of row counts. Negative or null
+  * weights are skipped (CMS requires the cash-register model — deletions
+  * would break the one-sided error guarantee). */
+case class CmsWeightedAgg(
+    keyExpr: Expression,
+    weightExpr: Expression,
+    depth: Int,
+    width: Int,
+    kernelName: String = "murmur2",
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[CmsSketch] {
+
+  override def children: Seq[Expression] = Seq(keyExpr, weightExpr)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val k = ValueBytes.checkSketchable(prettyName, keyExpr.dataType)
+    if (k.isFailure) k
+    else weightExpr.dataType match {
+      case LongType | IntegerType | ShortType | ByteType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an integral weight, got ${other.catalogString}")
+    }
+  }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "cms_sketch_weighted"
+
+  override def createAggregationBuffer(): CmsSketch =
+    CmsSketch(depth, width, HashKernels(kernelName))
+
+  override def update(buffer: CmsSketch, input: InternalRow): CmsSketch = {
+    val k = keyExpr.eval(input)
+    val w = weightExpr.eval(input)
+    if (k != null && w != null) {
+      val weight = w match {
+        case l: java.lang.Long => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+        case s: java.lang.Short => s.longValue()
+        case b: java.lang.Byte => b.longValue()
+        case other => throw new IllegalStateException(s"unsupported weight $other")
+      }
+      if (weight > 0) buffer.update(ValueBytes.toBytes(k, keyExpr.dataType), weight)
+    }
+    buffer
+  }
+
+  override def merge(buffer: CmsSketch, other: CmsSketch): CmsSketch = buffer.merge(other)
+  override def eval(buffer: CmsSketch): Any = buffer.serialize()
+  override def serialize(buffer: CmsSketch): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): CmsSketch = CmsSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(offset: Int): CmsWeightedAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): CmsWeightedAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): CmsWeightedAgg =
+    copy(keyExpr = c(0), weightExpr = c(1))
+}
+
 /** `kll_sketch(value, k)` — KLL quantile compactors over numeric input. */
 case class KllAgg(
     child: Expression,
@@ -270,30 +331,51 @@ case class TDigestAgg(
     copy(child = c.head)
 }
 
-/** `hh_sketch(value, capacity)` — SpaceSaving heavy hitters over strings. */
+/** `hh_sketch(value, capacity)` — SpaceSaving heavy hitters over strings.
+  * With `weightExpr` set (hh_sketch_weighted), each row adds its integral
+  * weight instead of 1 — e.g. heavy hitters by TOKEN volume, not document
+  * count; non-positive and null weights are skipped. */
 case class HeavyHittersAgg(
     child: Expression,
     capacity: Int,
+    weightExpr: Option[Expression] = None,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[HeavyHittersSketch] {
 
-  override def children: Seq[Expression] = Seq(child)
+  override def children: Seq[Expression] = child +: weightExpr.toSeq
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
+    case StringType => weightExpr.map(_.dataType) match {
+      case None | Some(LongType) | Some(IntegerType) | Some(ShortType) | Some(ByteType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case Some(other) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an integral weight, got ${other.catalogString}")
+    }
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires string input, got ${other.catalogString}")
   }
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
-  override def prettyName: String = "hh_sketch"
+  override def prettyName: String =
+    if (weightExpr.isDefined) "hh_sketch_weighted" else "hh_sketch"
 
   override def createAggregationBuffer(): HeavyHittersSketch =
     HeavyHittersSketch(capacity)
 
   override def update(buffer: HeavyHittersSketch, input: InternalRow): HeavyHittersSketch = {
     val v = child.eval(input)
-    if (v != null) buffer.update(v.asInstanceOf[UTF8String].toString)
+    if (v != null) weightExpr match {
+      case None => buffer.update(v.asInstanceOf[UTF8String].toString)
+      case Some(we) =>
+        val w = we.eval(input)
+        if (w != null) {
+          val weight = w match {
+            case l: java.lang.Long => l.longValue()
+            case n: java.lang.Number => n.longValue()
+          }
+          if (weight > 0) buffer.update(v.asInstanceOf[UTF8String].toString, weight)
+        }
+    }
     buffer
   }
 
@@ -309,5 +391,6 @@ case class HeavyHittersAgg(
   override def withNewInputAggBufferOffset(offset: Int): HeavyHittersAgg =
     copy(inputAggBufferOffset = offset)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): HeavyHittersAgg =
-    copy(child = c.head)
+    if (c.length == 2) copy(child = c(0), weightExpr = Some(c(1)))
+    else copy(child = c(0), weightExpr = None)
 }

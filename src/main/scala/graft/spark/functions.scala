@@ -3,7 +3,7 @@ package graft.spark
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
-import graft.spark.agg.{BloomAgg, BloomMergeAgg, CmsAgg, CmsMergeAgg, HeavyHittersAgg, HeavyHittersMergeAgg, HllAgg, HllMergeAgg, KllAgg, KllMergeAgg, TDigestAgg, TDigestMergeAgg}
+import graft.spark.agg.{BloomAgg, BloomMergeAgg, CmsAgg, CmsMergeAgg, CmsWeightedAgg, HeavyHittersAgg, HeavyHittersMergeAgg, HllAgg, HllMergeAgg, KllAgg, KllMergeAgg, TDigestAgg, TDigestMergeAgg}
 import graft.spark.expr._
 
 /** User-facing Column functions — the engine's public API surface,
@@ -64,9 +64,22 @@ object functions {
   def tdigest_sketch(c: Column, compression: Double = 100.0): Column =
     column(TDigestAgg(expression(c), compression).toAggregateExpression())
 
+  /** Count-min with per-row additive weights (e.g. token counts):
+    * estimates bound sum(weight) per key. */
+  def cms_sketch_weighted(key: Column, weight: Column, depth: Int = 5,
+      width: Int = 1 << 14, kernel: String = "murmur2"): Column =
+    column(CmsWeightedAgg(expression(key), expression(weight), depth, width, kernel)
+      .toAggregateExpression())
+
   /** SpaceSaving heavy hitters over a string column. */
   def hh_sketch(c: Column, capacity: Int = 256): Column =
     column(HeavyHittersAgg(expression(c), capacity).toAggregateExpression())
+
+  /** SpaceSaving heavy hitters by WEIGHT volume (e.g. tokens per source)
+    * instead of row count. */
+  def hh_sketch_weighted(c: Column, weight: Column, capacity: Int = 256): Column =
+    column(HeavyHittersAgg(expression(c), capacity, Some(expression(weight)))
+      .toAggregateExpression())
 
   // ---- sketch unions (second level of two-level / salted aggregation) ----
 

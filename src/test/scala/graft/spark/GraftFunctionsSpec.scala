@@ -239,6 +239,32 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(est === 40L)
   }
 
+  test("weighted cms/hh: frequencies by weight volume, exact in the no-collision regime") {
+    // 30 keys, weight = token count; exact weighted totals known
+    val df = (0 until 3000).map(i => (s"src${i % 30}", (i % 7) + 1L)).toDF("k", "w")
+      .repartition(5)
+    val exact = (0 until 3000).map(i => (s"src${i % 30}", (i % 7) + 1L))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val cmsBytes = df.agg(cms_sketch_weighted(F.col("k"), F.col("w"), 5, 1 << 14))
+      .head().getAs[Array[Byte]](0)
+    val cms = CmsSketch.deserialize(cmsBytes)
+    exact.foreach { case (k, c) => assert(cms.estimate(k) === c, s"key=$k") }
+    val hhBytes = df.agg(hh_sketch_weighted(F.col("k"), F.col("w"), 64))
+      .head().getAs[Array[Byte]](0)
+    val hh = graft.sketch.HeavyHittersSketch.deserialize(hhBytes)
+    hh.topK(30).foreach { case (k, cnt, lower) =>
+      assert(cnt === exact(k) && lower === cnt, s"key=$k")
+    }
+    // SQL forms
+    val viaSql = spark.sql(
+      """SELECT hh_topk(hh_sketch_weighted(k, w, 64), 1),
+        |       cms_estimate(cms_sketch_weighted(k, w), 'src6')
+        |FROM VALUES ('src6', 10L), ('src1', 3L), ('src6', 5L) AS t(k, w)""".stripMargin)
+      .head()
+    assert(viaSql.getSeq[org.apache.spark.sql.Row](0).head.getString(0) === "src6")
+    assert(viaSql.getLong(1) === 15L)
+  }
+
   test("bloom_bank_contains: routed probe, per-part cache, null filter => true") {
     def filterFor(keys: Seq[String]): Array[Byte] = {
       val sk = BloomSketch(1000L, 16)
