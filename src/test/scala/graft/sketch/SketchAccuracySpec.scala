@@ -135,6 +135,49 @@ class SketchAccuracySpec extends AnyFunSuite {
     assert(merged.n === whole.n)
   }
 
+  test("CMS sparse mode: small buffers for small groups, canonical bytes, exact counts") {
+    // few keys stay sparse: serialized size O(keys*d), not d*w*8
+    val small = CmsSketch(5, 1 << 14)
+    (0 until 40).foreach(i => small.update(s"k${i % 10}"))
+    assert(small.isSparse)
+    val bytes = small.serialize()
+    assert(bytes.length < 1200, s"sparse bytes = ${bytes.length}")
+    val back = CmsSketch.deserialize(bytes)
+    (0 until 10).foreach(i => assert(back.estimate(s"k$i") === 4L))
+    assert(back.n === 40L)
+    // canonical: insertion order and split/merge do not change bytes
+    def of(xs: Seq[String]): CmsSketch = {
+      val s = CmsSketch(5, 1 << 14)
+      xs.foreach(s.update)
+      s
+    }
+    val items = (0 until 200).map(i => s"key-${i % 50}")
+    val a = of(items)
+    val b = of(new scala.util.Random(11).shuffle(items))
+    assert(java.util.Arrays.equals(a.serialize(), b.serialize()))
+    val halves = items.grouped(100).toSeq.map(of)
+    assert(java.util.Arrays.equals(halves.reduceLeft(_ merge _).serialize(), a.serialize()))
+    // mixed sparse/dense merges match an all-at-once dense build
+    val many = (0 until 30000).map(i => s"m-$i")
+    val whole = of(many ++ items)
+    assert(!whole.isSparse)
+    val m1 = of(many).merge(of(items)) // dense <- sparse
+    val m2 = of(items).merge(of(many)) // sparse <- dense
+    assert(java.util.Arrays.equals(m1.serialize(), whole.serialize()))
+    assert(java.util.Arrays.equals(m2.serialize(), whole.serialize()))
+    // round-1 (version 1) dense wire format still deserializes: v2-dense
+    // layout minus the mode byte, version tag 1
+    val v2 = whole.serialize()
+    val modePos = 4 + 1 + 4 + "murmur2".length + 4 + 4 + 8
+    val v1 = new Array[Byte](v2.length - 1)
+    System.arraycopy(v2, 0, v1, 0, modePos)
+    System.arraycopy(v2, modePos + 1, v1, modePos, v2.length - modePos - 1)
+    v1(4) = CmsSketch.VersionDenseOnly
+    val legacy = CmsSketch.deserialize(v1)
+    assert(legacy.n === whole.n)
+    assert(java.util.Arrays.equals(legacy.serialize(), v2))
+  }
+
   test("KLL: rank error within eps at standard quantiles, exact ground truth") {
     val k = 200
     val n = 100000
