@@ -126,6 +126,21 @@ object SparkEntry {
         .orderBy(F.col("cnt").desc, F.col("item"))
     }),
 
+    // high-cardinality grouped sketch rollup: one HLL + one KLL PER GROUP
+    // — the shape the sparse sketch buffers exist for (most groups touch
+    // a handful of registers; dense buffers would cost 16 KB per group
+    // map-side). Rows-only: estimates aren't SQL-expressible; exactness
+    // of the grouping and bounds are pinned in GraftFunctionsSpec.
+    "grouped_sketch_rollup" -> ((s, dir) => {
+      read(s, dir, "lineitem")
+        .groupBy(F.col("l_suppkey"))
+        .agg(
+          F.count(F.lit(1)).as("n_rows"),
+          hll_distinct(F.col("l_partkey"), 14).as("approx_parts"),
+          kll_quantile(kll_sketch(F.col("l_quantity"), 200), F.lit(0.5)).as("qty_p50"))
+        .orderBy("l_suppkey")
+    }),
+
     // windowed event-stream rollup: tumbling 1-day windows per event
     // type, exact counts + rounded sums — exact DuckDB oracle
     "events_windowed" -> ((s, dir) => {
