@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -173,20 +173,24 @@ private[ops] trait StringInOps { self: Expression =>
 
 /** `simhash64(text)` */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with StringInOps with CodegenFallback {
+    extends UnaryExpression with StringInOps {
   override def checkInputDataTypes(): TypeCheckResult = checkStringIn(child.dataType, prettyName)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "simhash64"
-  override protected def nullSafeEval(v: Any): Any =
-    TextOps.simhash64(v.asInstanceOf[UTF8String].toString)
+  def compute(s: UTF8String): Long = TextOps.simhash64(s.toString)
+  override protected def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhashExpr", this, classOf[SimHash64].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 
 /** `minhash_sig(text, numHashes, shingleSize)` -> array<long>; the two
   * size arguments must be foldable ints. */
 case class MinHashSig(child: Expression, numHashes: Int, shingleSize: Int)
-    extends UnaryExpression with StringInOps with CodegenFallback {
+    extends UnaryExpression with StringInOps {
   override def checkInputDataTypes(): TypeCheckResult = {
     if (numHashes < 1 || shingleSize < 1)
       TypeCheckResult.TypeCheckFailure(s"$prettyName sizes must be >= 1")
@@ -195,39 +199,52 @@ case class MinHashSig(child: Expression, numHashes: Int, shingleSize: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "minhash_sig"
-  override protected def nullSafeEval(v: Any): Any =
-    new GenericArrayData(
-      TextOps.minhashSignature(v.asInstanceOf[UTF8String].toString, numHashes, shingleSize))
+  def compute(s: UTF8String): GenericArrayData =
+    new GenericArrayData(TextOps.minhashSignature(s.toString, numHashes, shingleSize))
+  override protected def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashExpr", this, classOf[MinHashSig].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
 
 /** `fingerprint64(text)` — rolling Karp-Rabin token fingerprint. */
 case class Fingerprint64(child: Expression)
-    extends UnaryExpression with StringInOps with CodegenFallback {
+    extends UnaryExpression with StringInOps {
   override def checkInputDataTypes(): TypeCheckResult = checkStringIn(child.dataType, prettyName)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "fingerprint64"
-  override protected def nullSafeEval(v: Any): Any =
-    TextOps.fingerprint(v.asInstanceOf[UTF8String].toString)
+  def compute(s: UTF8String): Long = TextOps.fingerprint(s.toString)
+  override protected def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("fpExpr", this, classOf[Fingerprint64].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
   override protected def withNewChildInternal(c: Expression): Fingerprint64 = copy(child = c)
 }
 
 /** `lang_id(text)` — heuristic language code. */
 case class LangId(child: Expression)
-    extends UnaryExpression with StringInOps with CodegenFallback {
+    extends UnaryExpression with StringInOps {
   override def checkInputDataTypes(): TypeCheckResult = checkStringIn(child.dataType, prettyName)
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "lang_id"
-  override protected def nullSafeEval(v: Any): Any =
-    UTF8String.fromString(TextOps.langId(v.asInstanceOf[UTF8String].toString))
+  def compute(s: UTF8String): UTF8String =
+    UTF8String.fromString(TextOps.langId(s.toString))
+  override protected def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langExpr", this, classOf[LangId].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
   override protected def withNewChildInternal(c: Expression): LangId = copy(child = c)
 }
 
 /** `jaccard_shingles(a, b, size)` — exact token-shingle Jaccard. */
 case class JaccardShingles(left: Expression, right: Expression, shingleSize: Int)
-    extends BinaryExpression with StringInOps with CodegenFallback {
+    extends BinaryExpression with StringInOps {
   override def checkInputDataTypes(): TypeCheckResult = {
     val f = checkStringIn(left.dataType, prettyName)
     if (f.isFailure) f else checkStringIn(right.dataType, prettyName)
@@ -235,9 +252,14 @@ case class JaccardShingles(left: Expression, right: Expression, shingleSize: Int
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "jaccard_shingles"
+  def compute(a: UTF8String, b: UTF8String): Double =
+    TextOps.jaccardShingles(a.toString, b.toString, shingleSize)
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    TextOps.jaccardShingles(a.asInstanceOf[UTF8String].toString,
-      b.asInstanceOf[UTF8String].toString, shingleSize)
+    compute(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jaccardExpr", this, classOf[JaccardShingles].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.compute($a, $b)")
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardShingles =
     copy(left = l, right = r)
 }

@@ -1,6 +1,6 @@
 package graft.spark.expr
 
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -95,7 +95,7 @@ case class GraftHash32(child: Expression, kernelName: String)
   * only kernels with a seeded form support this (murmur2, jenkins, cwow
   * use seed-by-index; fnv/hsieh chain, where `seed` is the chain state). */
 case class GraftHash64Seeded(left: Expression, right: Expression, kernelName: String)
-    extends BinaryExpression with GraftHashExpression with CodegenFallback {
+    extends BinaryExpression with GraftHashExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val first = checkHashable(left.dataType, "first")
@@ -104,6 +104,13 @@ case class GraftHash64Seeded(left: Expression, right: Expression, kernelName: St
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = s"graft_hash64_seeded_$kernelName"
+
+  def compute(data: Array[Byte], seed: Long): Long = seeded(data, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("seededExpr", this, classOf[GraftHash64Seeded].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.compute(${bytesCode(a, left.dataType)}, $b)")
+  }
 
   @transient private lazy val seeded: (Array[Byte], Long) => Long = kernel match {
     case graft.core.hash.Murmur2Kernel => graft.core.hash.Murmur2Kernel.hash64Seeded
@@ -127,7 +134,7 @@ case class GraftHash64Seeded(left: Expression, right: Expression, kernelName: St
   * int-family counterpart of `graft_hash64_seeded` (`LongHash.java:44-48`
   * exposes the full int family alongside the long one). */
 case class GraftHash32Seeded(left: Expression, right: Expression, kernelName: String)
-    extends BinaryExpression with GraftHashExpression with CodegenFallback {
+    extends BinaryExpression with GraftHashExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val first = checkHashable(left.dataType, "first")
@@ -136,6 +143,13 @@ case class GraftHash32Seeded(left: Expression, right: Expression, kernelName: St
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = s"graft_hash32_seeded_$kernelName"
+
+  def compute(data: Array[Byte], seed: Int): Int = seeded(data, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("seeded32Expr", this, classOf[GraftHash32Seeded].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.compute(${bytesCode(a, left.dataType)}, $b)")
+  }
 
   @transient private lazy val seeded: (Array[Byte], Int) => Int = kernel match {
     case graft.core.hash.Murmur2Kernel => graft.core.hash.Murmur2Kernel.hash32Seeded
@@ -159,7 +173,7 @@ case class GraftHash32Seeded(left: Expression, right: Expression, kernelName: St
   * face of `LongHash.getIntHashCodes` (`LongHash.java:44-48`); preserves
   * each kernel's scheme (seed-by-index, chained, or PRNG-stream). */
 case class GraftHash32K(left: Expression, right: Expression, kernelName: String)
-    extends BinaryExpression with GraftHashExpression with CodegenFallback {
+    extends BinaryExpression with GraftHashExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val first = checkHashable(left.dataType, "first")
@@ -169,8 +183,16 @@ case class GraftHash32K(left: Expression, right: Expression, kernelName: String)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = s"graft_hash32_k_$kernelName"
 
+  def compute(data: Array[Byte], k: Int): GenericArrayData =
+    new GenericArrayData(kernel.hash32K(data, k))
+
   override protected def nullSafeEval(input: Any, k: Any): Any =
-    new GenericArrayData(kernel.hash32K(childBytes(input, left.dataType), k.asInstanceOf[Int]))
+    compute(childBytes(input, left.dataType), k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("h32kExpr", this, classOf[GraftHash32K].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.compute(${bytesCode(a, left.dataType)}, $b)")
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): GraftHash32K =
     copy(left = l, right = r)
@@ -181,7 +203,7 @@ case class GraftHash32K(left: Expression, right: Expression, kernelName: String)
   * Prefer looping inside sketch aggregates; this exists for SQL users and
   * tests. k must be foldable. */
 case class GraftHash64K(left: Expression, right: Expression, kernelName: String)
-    extends BinaryExpression with GraftHashExpression with CodegenFallback {
+    extends BinaryExpression with GraftHashExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val first = checkHashable(left.dataType, "first")
@@ -191,8 +213,16 @@ case class GraftHash64K(left: Expression, right: Expression, kernelName: String)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = s"graft_hash64_k_$kernelName"
 
+  def compute(data: Array[Byte], k: Int): GenericArrayData =
+    new GenericArrayData(kernel.hash64K(data, k))
+
   override protected def nullSafeEval(input: Any, k: Any): Any =
-    new GenericArrayData(kernel.hash64K(childBytes(input, left.dataType), k.asInstanceOf[Int]))
+    compute(childBytes(input, left.dataType), k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("h64kExpr", this, classOf[GraftHash64K].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.compute(${bytesCode(a, left.dataType)}, $b)")
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): GraftHash64K =
     copy(left = l, right = r)
