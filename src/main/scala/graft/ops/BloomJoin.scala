@@ -22,21 +22,29 @@ import graft.spark.functions.{bloom_might_contain, bloom_sketch}
   *
   * Sizing: the sketch is built at `maxSize = distinct build keys` via one
   * count over the (small) build side — the mkblm sizing rule.
+  *
+  * Kernel choice: integral keys canonicalize to 8-byte binary and are
+  * safe with the default murmur2. For SHORT DECIMAL-STRING keys pass
+  * `kernel = "jenkins"` — the reference's murmur2 seed-by-index k-vector
+  * provably collapses Bloom FPR on such keys (to ~50% at bpi=16; pinned
+  * in BloomSketchSpec against the compiled reference), which would keep
+  * the prefilter correct but useless.
   */
 object BloomJoin {
 
-  private def keySketch(small: DataFrame, smallKey: String, bitsPerItem: Int): Array[Byte] = {
+  private def keySketch(small: DataFrame, smallKey: String, bitsPerItem: Int,
+      kernel: String): Array[Byte] = {
     val keys = small.select(F.col(smallKey)).na.drop().distinct()
     val n = math.max(128L, keys.count()) // floor keeps tiny builds valid (128 bitsets)
-    keys.agg(bloom_sketch(F.col(smallKey), n, bitsPerItem))
+    keys.agg(bloom_sketch(F.col(smallKey), n, bitsPerItem, kernel))
       .head().getAs[Array[Byte]](0)
   }
 
   /** Exact `large SEMI JOIN small ON large(largeKey) = small(smallKey)`,
     * Bloom-prefiltered. */
   def semi(large: DataFrame, largeKey: String, small: DataFrame, smallKey: String,
-      bitsPerItem: Int = 16): DataFrame = {
-    val sketch = keySketch(small, smallKey, bitsPerItem)
+      bitsPerItem: Int = 16, kernel: String = "murmur2"): DataFrame = {
+    val sketch = keySketch(small, smallKey, bitsPerItem, kernel)
     large.filter(bloom_might_contain(F.lit(sketch), F.col(largeKey)))
       .join(small.select(F.col(smallKey).as(largeKey)).distinct(),
         Seq(largeKey), "left_semi")
@@ -46,8 +54,8 @@ object BloomJoin {
     * the output (no false negatives => provably absent); only the
     * "might contain" subset pays the exact anti join. */
   def anti(large: DataFrame, largeKey: String, small: DataFrame, smallKey: String,
-      bitsPerItem: Int = 16): DataFrame = {
-    val sketch = keySketch(small, smallKey, bitsPerItem)
+      bitsPerItem: Int = 16, kernel: String = "murmur2"): DataFrame = {
+    val sketch = keySketch(small, smallKey, bitsPerItem, kernel)
     val pred = bloom_might_contain(F.lit(sketch), F.col(largeKey))
     val definitelyAbsent = large.filter(F.col(largeKey).isNotNull && !pred)
     val maybe = large.filter(F.col(largeKey).isNull || pred)

@@ -29,13 +29,22 @@ object StreamingDedup {
     * encoder deserializer must be able to construct it). */
   case class Doc(id: Long, text: String, h: Long)
 
+  /** Dedup-group key for null texts. A 2^-64 collision with a real text's
+    * hash would merely merge two dedup groups — same exposure every
+    * hash-keyed group in this engine accepts. */
+  private val NullTextSentinel: Long = 0x6e756c6c2d746578L // "null-tex"
+
   /** Append-mode transform for a streaming DataFrame with a long id
-    * column and a string text column: keeps first-seen texts only. */
+    * column and a string text column: keeps first-seen texts only.
+    * Null-id rows are dropped (nothing to emit for them); null-text rows
+    * form their own dedup group under a sentinel hash, mirroring batch
+    * `exactDedup`'s grouping of the null content hash. */
   def firstSeen(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(F.col(idCol).cast("long").as("id"), F.col(textCol).as("text"),
-        murmur64(F.col(textCol)).as("h"))
+    df.filter(F.col(idCol).isNotNull)
+      .select(F.col(idCol).cast("long").as("id"), F.col(textCol).as("text"),
+        F.coalesce(murmur64(F.col(textCol)), F.lit(NullTextSentinel)).as("h"))
       .as[Doc]
       .groupByKey(_.h)
       .flatMapGroupsWithState[Boolean, (Long, String)](

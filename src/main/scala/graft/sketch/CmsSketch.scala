@@ -257,7 +257,24 @@ object CmsSketch {
       val counters = new Array[Long](depth * width)
       var i = 0
       while (i < counters.length) { counters(i) = buf.getLong(); i += 1 }
-      new CmsSketch(kernel, depth, width, totalN, counters, null, null, 0)
+      // re-canonicalize: a round-1 (v1) buffer may be dense below the
+      // sparse threshold; rebuild the canonical representation so equal
+      // counter states serialize identically across versions
+      var occ = 0
+      var j = 0
+      while (j < counters.length) { if (counters(j) != 0) occ += 1; j += 1 }
+      if (occ >= math.max(8, counters.length >>> 4)) {
+        new CmsSketch(kernel, depth, width, totalN, counters, null, null, 0)
+      } else {
+        val sk = apply(depth, width, kernel)
+        var c = 0
+        while (c < counters.length) {
+          if (counters(c) != 0) sk.addTo(c, counters(c))
+          c += 1
+        }
+        sk.totalN = totalN
+        sk
+      }
     } else {
       val sk = apply(depth, width, kernel)
       val nEntries = buf.getInt()

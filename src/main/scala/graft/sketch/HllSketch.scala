@@ -186,7 +186,10 @@ final class HllSketch private (
   def serialize(): Array[Byte] = {
     val nameBytes = ByteOps.utf8(kernel.name)
     val header = 4 + 1 + 4 + nameBytes.length + 4 + 1
-    if (dense == null && sparseCount < upgradeThreshold) {
+    // invariant: sparse <=> occupancy < upgradeThreshold (setMax upgrades
+    // the moment the threshold is reached), so representation alone picks
+    // the canonical layout
+    if (dense == null) {
       val packed = new Array[Int](sparseCount)
       var i = 0
       var n = 0
@@ -204,7 +207,6 @@ final class HllSketch private (
       packed.foreach(buf.putInt)
       buf.array()
     } else {
-      if (dense == null) toDense()
       val buf = ByteBuffer.allocate(header + m)
       putHeader(buf, nameBytes, ModeDense)
       buf.put(dense)
@@ -276,7 +278,23 @@ object HllSketch {
     if (mode == ModeDense) {
       val registers = new Array[Byte](1 << p)
       buf.get(registers)
-      new HllSketch(kernel, p, registers, null, null, 0)
+      // re-canonicalize: a round-1 (v1) buffer may be dense below the
+      // sparse threshold; rebuilding the canonical representation keeps
+      // "equal register state => equal bytes" true across versions
+      var occ = 0
+      var i = 0
+      while (i < registers.length) { if (registers(i) != 0) occ += 1; i += 1 }
+      if (occ >= math.max(4, (1 << p) >>> 4)) {
+        new HllSketch(kernel, p, registers, null, null, 0)
+      } else {
+        val sk = apply(p, kernel)
+        var j = 0
+        while (j < registers.length) {
+          if (registers(j) != 0) sk.setMax(j, registers(j))
+          j += 1
+        }
+        sk
+      }
     } else {
       val sk = apply(p, kernel)
       val n = buf.getInt()

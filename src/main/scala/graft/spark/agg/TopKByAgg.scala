@@ -59,18 +59,28 @@ case class TopKByAgg(
   override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
 
   override def update(buffer: TopKHeap, input: InternalRow): TopKHeap = {
-    val v = valueExpr.eval(input)
     val s = scoreExpr.eval(input)
-    if (v != null && s != null) {
-      // UTF8String from an unsafe row may alias a reused buffer — the heap
-      // outlives the row, so strings are materialized on admission
-      val owned: AnyRef = valueType match {
-        case StringType => v.asInstanceOf[UTF8String].toString
-        case IntegerType => java.lang.Long.valueOf(v.asInstanceOf[Int].toLong)
-        case LongType => java.lang.Long.valueOf(v.asInstanceOf[Long])
-        case other => throw new IllegalStateException(s"unsupported value type $other")
+    if (s != null) {
+      val score = ValueBytes.toDouble(s, scoreExpr.dataType)
+      // NaN scores are skipped like nulls (the KLL/t-digest policy): raw
+      // double compares make NaN order-dependent, which would break the
+      // partition-order-independence contract
+      if (!java.lang.Double.isNaN(score) && buffer.scoreCompetitive(score)) {
+        val v = valueExpr.eval(input)
+        if (v != null) {
+          // value materialized ONLY when the score can possibly admit:
+          // an UnsafeRow's UTF8String aliases a reused buffer (must copy
+          // before it outlives the row), and the copy/boxing per scored
+          // row would otherwise dominate the brute-force ANN hot path
+          val owned: AnyRef = valueType match {
+            case StringType => v.asInstanceOf[UTF8String].toString
+            case IntegerType => java.lang.Long.valueOf(v.asInstanceOf[Int].toLong)
+            case LongType => java.lang.Long.valueOf(v.asInstanceOf[Long])
+            case other => throw new IllegalStateException(s"unsupported value type $other")
+          }
+          buffer.offer(score, owned)
+        }
       }
-      buffer.offer(ValueBytes.toDouble(s, scoreExpr.dataType), owned)
     }
     buffer
   }
@@ -162,6 +172,12 @@ final class TopKHeap(val k: Int) extends Serializable {
     case (x: String, y: String) => x.compareTo(y)
     case _ => throw new IllegalStateException("mixed top-k value types")
   }
+
+  /** Can a row with this score possibly be admitted? (score strictly
+    * above the root, equal to it — value tiebreak pending — or heap not
+    * full.) O(1) pre-check so callers defer materializing the value. */
+  def scoreCompetitive(score: Double): Boolean =
+    n < k || score >= scores(0)
 
   def offer(score: Double, value: AnyRef): Unit = {
     if (n < k) {

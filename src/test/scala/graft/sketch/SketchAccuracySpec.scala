@@ -97,6 +97,27 @@ class SketchAccuracySpec extends AnyFunSuite {
     val legacy = HllSketch.deserialize(v1)
     assert(legacy.estimate() === whole.estimate())
     assert(java.util.Arrays.equals(legacy.serialize(), v2))
+
+    // a LOW-occupancy v1 dense buffer re-canonicalizes to sparse bytes, so
+    // "equal register state => equal bytes" holds across wire versions
+    val sparseBytes = a.serialize()
+    val bb = java.nio.ByteBuffer.wrap(sparseBytes)
+    bb.position(21) // header + mode byte
+    val cnt = bb.getInt()
+    val regs = new Array[Byte](1 << 14)
+    (0 until cnt).foreach { _ =>
+      val pk = bb.getInt()
+      regs(pk >>> 6) = (pk & 0x3f).toByte
+    }
+    val v1lo = java.nio.ByteBuffer.allocate(20 + regs.length)
+    v1lo.putInt(HllSketch.Magic)
+    v1lo.put(HllSketch.VersionDenseOnly)
+    v1lo.putInt(7)
+    v1lo.put("murmur2".getBytes("UTF-8"))
+    v1lo.putInt(14)
+    v1lo.put(regs)
+    assert(java.util.Arrays.equals(
+      HllSketch.deserialize(v1lo.array()).serialize(), sparseBytes))
   }
 
   test("CMS: estimate >= true, and <= true + eps*N for probed keys") {
@@ -176,6 +197,29 @@ class SketchAccuracySpec extends AnyFunSuite {
     val legacy = CmsSketch.deserialize(v1)
     assert(legacy.n === whole.n)
     assert(java.util.Arrays.equals(legacy.serialize(), v2))
+
+    // LOW-occupancy v1 dense buffer re-canonicalizes to sparse bytes
+    val sparseBytes = a.serialize()
+    val bb = java.nio.ByteBuffer.wrap(sparseBytes)
+    // header layout: magic(4) ver(1) nameLen(4) name(7) d(4) w(4) n(8) mode(1)
+    bb.position(33)
+    val cnt = bb.getInt()
+    val cells = new Array[Long](5 * (1 << 14))
+    (0 until cnt).foreach { _ =>
+      val idx = bb.getInt()
+      cells(idx) = bb.getLong()
+    }
+    val v1lo = java.nio.ByteBuffer.allocate(32 + cells.length * 8)
+    v1lo.putInt(CmsSketch.Magic)
+    v1lo.put(CmsSketch.VersionDenseOnly)
+    v1lo.putInt(7)
+    v1lo.put("murmur2".getBytes("UTF-8"))
+    v1lo.putInt(5)
+    v1lo.putInt(1 << 14)
+    v1lo.putLong(a.n)
+    cells.foreach(v1lo.putLong)
+    assert(java.util.Arrays.equals(
+      CmsSketch.deserialize(v1lo.array()).serialize(), sparseBytes))
   }
 
   test("KLL: rank error within eps at standard quantiles, exact ground truth") {

@@ -112,6 +112,15 @@ class EdgeCasesSpec extends SparkTestBase {
     val kept = withNulls.agg(top_k_by($"v", $"s", 2)).head()
       .getSeq[org.apache.spark.sql.Row](0).map(_.getLong(0))
     assert(kept === Seq(3L, 2L))
+    // NaN scores are skipped like nulls regardless of arrival order —
+    // raw double compares would otherwise make results order-dependent
+    for (parts <- Seq(1, 4)) {
+      val withNaN = Seq((1L, Double.NaN), (2L, 2.0), (3L, Double.NaN), (4L, 1.0))
+        .toDF("v", "s").repartition(parts)
+      val top = withNaN.agg(top_k_by($"v", $"s", 3)).head()
+        .getSeq[org.apache.spark.sql.Row](0).map(_.getLong(0))
+      assert(top === Seq(2L, 4L), s"parts=$parts")
+    }
   }
 
   test("hh_topk edges: k > tracked count; empty sketch; absent-key estimate") {

@@ -89,6 +89,11 @@ class StreamingSketchSpec extends SparkTestBase {
       input.addData((4L, "alpha"), (5L, "gamma"))
       q.processAllAvailable()
       assert(seen() === Set(1L, 2L, 5L))
+      // null texts form their own dedup group instead of crashing the
+      // query; later null texts are duplicates of it
+      input.addData((6L, null), (7L, null))
+      q.processAllAvailable()
+      assert(seen() === Set(1L, 2L, 5L, 6L))
     } finally q.stop()
   }
 
