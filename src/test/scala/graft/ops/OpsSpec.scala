@@ -160,6 +160,17 @@ class OpsSpec extends SparkTestBase {
     assert(hits >= 27, s"LSH self-retrieval found $hits of 30")
   }
 
+  test("text expressions fuse into whole-stage codegen (no fallback eval)") {
+    val df = docs.select(
+      TextAnalysis.lang_id($"text").as("lang_pred"),
+      TextAnalysis.simhash64($"text").as("sh"),
+      TextAnalysis.fingerprint64($"text").as("fp"),
+      TextAnalysis.minhash_sig($"text", 16, 3).as("sig"))
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" marks operators fused into a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project"), s"projection fell out of codegen:\n$plan")
+  }
+
   test("srp_signature: native expression, matches local hyperplane math") {
     val df = embs.select($"vec_id", $"embedding")
       .withColumn("sig", Similarity.srpSignature($"embedding", 12, 42L))
