@@ -126,5 +126,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("cms_estimate", { case Seq(s, c) => CmsEstimate(s, c) })
     register("kll_quantile", { case Seq(s, q) => KllQuantile(s, q) })
     register("kll_rank", { case Seq(s, v) => KllRank(s, v) })
+    register("kll_histogram", { case Seq(s, b) => KllHistogram(s, b) })
   }
 }

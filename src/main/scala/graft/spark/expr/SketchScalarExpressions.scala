@@ -374,6 +374,60 @@ object BloomBankContains {
   case object Missing
 }
 
+/** `kll_histogram(sketchBytes, nBins)` — equal-width histogram over the
+  * sketch's [min, max] value range as array<struct<lo, hi, cnt>>; bin
+  * counts come from rank differences, so each carries the sketch's eps*n
+  * rank-error bound. The profiling primitive: one pass builds the
+  * sketch, the histogram materializes from the O(k) summary. */
+case class KllHistogram(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val f = SketchTypeChecks.binaryFirst(prettyName, left.dataType)
+    if (f.isFailure) f else SketchTypeChecks.exact(prettyName, right.dataType, IntegerType)
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("lo", DoubleType, nullable = false),
+    StructField("hi", DoubleType, nullable = false),
+    StructField("cnt", LongType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "kll_histogram"
+
+  @transient private lazy val cache = new SketchCache(KllSketch.deserialize)
+
+  def histogram(sketchBytes: Array[Byte], nBins: Int): GenericArrayData = {
+    require(nBins >= 1, s"$prettyName requires nBins >= 1, got $nBins")
+    val sk = cache.get(sketchBytes)
+    if (sk.n == 0L) return new GenericArrayData(Array.empty[Any])
+    val lo = sk.quantile(0.0)
+    val hi = sk.quantile(1.0)
+    if (lo == hi) {
+      return new GenericArrayData(Array[Any](InternalRow(lo, hi, sk.n)))
+    }
+    val width = (hi - lo) / nBins
+    var prevRank = 0L
+    val rows = (1 to nBins).map { b =>
+      val binHi = if (b == nBins) hi else lo + width * b
+      val r = if (b == nBins) sk.n else sk.rank(binHi)
+      val row = InternalRow(lo + width * (b - 1), binHi, math.max(0L, r - prevRank))
+      prevRank = math.max(prevRank, r)
+      row
+    }
+    new GenericArrayData(rows.toArray[Any])
+  }
+
+  override protected def nullSafeEval(sketch: Any, nBins: Any): Any =
+    histogram(sketch.asInstanceOf[Array[Byte]], nBins.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kllHistExpr", this, classOf[KllHistogram].getName)
+    nullSafeCodeGen(ctx, ev, (s, b) => s"${ev.value} = $ref.histogram($s, $b);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KllHistogram =
+    copy(left = l, right = r)
+}
+
 /** `tdigest_quantile(sketchBytes, q)` — value at quantile q in [0,1]. */
 case class TDigestQuantile(left: Expression, right: Expression)
     extends BinaryExpression {

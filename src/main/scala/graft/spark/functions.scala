@@ -118,6 +118,10 @@ object functions {
   def kll_rank(sketch: Column, v: Column): Column =
     column(KllRank(expression(sketch), expression(v)))
 
+  /** Equal-width histogram from a KLL sketch: array<struct<lo,hi,cnt>>. */
+  def kll_histogram(sketch: Column, nBins: Column): Column =
+    column(KllHistogram(expression(sketch), expression(nBins)))
+
   def tdigest_quantile(sketch: Column, q: Column): Column =
     column(TDigestQuantile(expression(sketch), expression(q)))
 

@@ -130,6 +130,26 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(math.abs(row.getLong(1) - n / 2.0) / n <= 3 * KllSketch.epsilon(200))
   }
 
+  test("kll_histogram: bins partition n within rank-error, SQL form works") {
+    val n = 20000
+    val df = spark.range(n).select(F.col("id").cast("double").as("v")).repartition(6)
+    val rows = df.agg(kll_sketch(F.col("v"), 200).as("sk"))
+      .select(F.posexplode(kll_histogram(F.col("sk"), F.lit(8))).as(Seq("pos", "b")))
+      .select(F.col("b.lo"), F.col("b.hi"), F.col("b.cnt"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+    assert(rows.length === 8)
+    assert(rows.map(_._3).sum === n) // bins partition all items exactly
+    // uniform data: each bin within 3*eps*n of n/8
+    val tol = 3 * graft.sketch.KllSketch.epsilon(200) * n
+    rows.foreach { case (lo, hi, cnt) =>
+      assert(lo < hi && math.abs(cnt - n / 8.0) <= tol, s"bin [$lo,$hi) cnt=$cnt")
+    }
+    val viaSql = spark.sql(
+      "SELECT size(kll_histogram(kll_sketch(CAST(id AS DOUBLE)), 4)) FROM range(100)")
+      .head().getInt(0)
+    assert(viaSql === 4)
+  }
+
   test("hh_sketch: heavy hitters through Spark aggregation with shuffle merge") {
     val rows = (0 until 300).flatMap(i => Seq.fill(math.max(1, 3000 / (i + 1)))(s"t$i"))
     val df = rows.toDF("s").repartition(7)
