@@ -236,6 +236,34 @@ object SparkEntry {
       Dedup.exactDedup(doubled, "doc_id", "text").orderBy("doc_id")
     }),
 
+    // STREAMING exact dedup through the real Structured Streaming engine:
+    // file-source stream -> stateful firstSeen -> memory sink, then the
+    // sink read back as the result. Single input file = single micro-
+    // batch, so kept id = min doc_id per distinct text — an exact DuckDB
+    // oracle for a streaming pipeline. (Multi-batch suppression semantics
+    // are pinned separately in StreamingSketchSpec.)
+    "streaming_dedup" -> ((s, dir) => {
+      val path = s"$dir/documents.parquet"
+      // the file streaming source lists a DIRECTORY; stage the single
+      // table file into one (same input bytes, streaming-source layout)
+      val staged = java.nio.file.Files.createTempDirectory("graft_sd_in")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+        staged.resolve("part-0.parquet"))
+      val schema = s.read.parquet(path).schema
+      val stream = s.readStream.schema(schema).parquet(staged.toString)
+      val name = s"sd_out_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = graft.ops.StreamingDedup.firstSeen(
+          stream.select(F.col("doc_id"), F.col("text")), "doc_id", "text")
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).select(F.col("doc_id"), F.col("text")).orderBy("doc_id")
+    }),
+
     // quality scoring: deterministic arithmetic, exact DuckDB oracle
     "text_quality" -> ((s, dir) => {
       TextAnalysis.qualityScore(read(s, dir, "documents"), "text")
@@ -396,6 +424,12 @@ object SparkEntry {
         |  SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents
         |) GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "streaming_dedup" ->
+      """SELECT d.doc_id, d.text FROM documents d
+        |JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) k
+        |  ON d.doc_id = k.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "text_quality" ->
       """WITH f AS (
