@@ -247,8 +247,10 @@ object SparkEntry {
       // the file streaming source lists a DIRECTORY; stage the single
       // table file into one (same input bytes, streaming-source layout)
       val staged = java.nio.file.Files.createTempDirectory("graft_sd_in")
-      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-        staged.resolve("part-0.parquet"))
+      val stagedFile = staged.resolve("part-0.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(path), stagedFile)
+      stagedFile.toFile.deleteOnExit()
+      staged.toFile.deleteOnExit()
       val schema = s.read.parquet(path).schema
       val stream = s.readStream.schema(schema).parquet(staged.toString)
       val name = s"sd_out_${java.util.UUID.randomUUID().toString.replace("-", "")}"
