@@ -254,14 +254,23 @@ object SparkEntry {
       val schema = s.read.parquet(path).schema
       val stream = s.readStream.schema(schema).parquet(staged.toString)
       val name = s"sd_out_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = graft.ops.StreamingDedup.firstSeen(
-          stream.select(F.col("doc_id"), F.col("text")), "doc_id", "text")
-        .writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // state-store count = shuffle partitions, fixed at query start and
+      // each paying per-batch init/commit; at this probe scale that fixed
+      // cost dominates, so the stateful stage gets a narrow width
+      // (save/restore — only this streaming query sees it)
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q =
+        try {
+          graft.ops.StreamingDedup.firstSeen(
+              stream.select(F.col("doc_id"), F.col("text")), "doc_id", "text")
+            .writeStream
+            .outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", saved)
       q.awaitTermination()
       s.table(name).select(F.col("doc_id"), F.col("text")).orderBy("doc_id")
     }),
