@@ -49,6 +49,7 @@ object SketchBuildJob {
         * parts) per unit and the router is a hash). */
       bloomPerPartCapacity: Long = 1 << 16,
       bloomBpi: Int = 16,
+      hhCapacity: Int = 64,
       /** cap on parts processed in one run (incremental operation /
         * kill-resume testing); None = all pending */
       maxPartsPerRun: Option[Int] = None)
@@ -62,7 +63,8 @@ object SketchBuildJob {
       estDistinctConvs: Long,
       estDistinctTools: Long,
       textLenP50: Double,
-      textLenP99: Double)
+      textLenP99: Double,
+      topTools: Seq[(String, Long)])
 
   private def manifestDir(out: String): HPath = new HPath(out, "_manifest")
   private def partsDir(out: String): String = s"$out/parts"
@@ -115,6 +117,9 @@ object SketchBuildJob {
         hll_sketch(F.col("tool"), c.hllP).as("hll_tool"),
         cms_sketch(roleTool, c.cmsDepth, c.cmsWidth).as("cms_roletool"),
         kll_sketch(F.length(F.col("text")), c.kllK).as("kll_textlen"),
+        // SpaceSaving top tools: exact whenever capacity covers the tool
+        // vocabulary (the common case), bounded-error otherwise
+        hh_sketch(F.col("tool"), c.hhCapacity).as("hh_tool"),
         bloom_sketch(F.col("conv_id"), c.bloomPerPartCapacity, c.bloomBpi).as("bloom_conv"))
   }
 
@@ -179,13 +184,16 @@ object SketchBuildJob {
         hll_merge(F.col("hll_conv")).as("hll_conv"),
         hll_merge(F.col("hll_tool")).as("hll_tool"),
         cms_merge(F.col("cms_roletool")).as("cms_roletool"),
-        kll_merge(F.col("kll_textlen")).as("kll_textlen"))
+        kll_merge(F.col("kll_textlen")).as("kll_textlen"),
+        hh_merge(F.col("hh_tool")).as("hh_tool"))
       .head()
 
     val totalRows = finalRow.getLong(0)
     val hllConv = HllSketch.deserialize(finalRow.getAs[Array[Byte]]("hll_conv"))
     val hllTool = HllSketch.deserialize(finalRow.getAs[Array[Byte]]("hll_tool"))
     val kll = KllSketch.deserialize(finalRow.getAs[Array[Byte]]("kll_textlen"))
+    val hhTool = graft.sketch.HeavyHittersSketch.deserialize(
+      finalRow.getAs[Array[Byte]]("hh_tool"))
 
     val ffs = finalDir(c.out).getFileSystem(conf)
     ffs.mkdirs(finalDir(c.out))
@@ -197,6 +205,7 @@ object SketchBuildJob {
     dump("hll_tool.bin", finalRow.getAs[Array[Byte]]("hll_tool"))
     dump("cms_roletool.bin", finalRow.getAs[Array[Byte]]("cms_roletool"))
     dump("kll_textlen.bin", finalRow.getAs[Array[Byte]]("kll_textlen"))
+    dump("hh_tool.bin", finalRow.getAs[Array[Byte]]("hh_tool"))
     // the Bloom bank stays in parts/ (one filter per part, routed probes
     // via ProbeJob.probeBank) — deliberately NOT OR-merged
 
@@ -207,12 +216,16 @@ object SketchBuildJob {
       estDistinctConvs = math.round(hllConv.estimate()),
       estDistinctTools = math.round(hllTool.estimate()),
       textLenP50 = kll.quantile(0.5),
-      textLenP99 = kll.quantile(0.99))
+      textLenP99 = kll.quantile(0.99),
+      topTools = hhTool.topK(10).map { case (t, cnt, _) => (t, cnt) })
 
+    val topToolsJson = result.topTools
+      .map { case (t, cnt) => s"""["$t",$cnt]""" }.mkString("[", ",", "]")
     val summary =
       s"""{"rows":$totalRows,"est_distinct_convs":${result.estDistinctConvs},
          |"est_distinct_tools":${result.estDistinctTools},
          |"textlen_p50":${result.textLenP50},"textlen_p99":${result.textLenP99},
+         |"top_tools":$topToolsJson,
          |"parts_done":${nowDone.size},"parts_this_run":${processed.size}}"""
         .stripMargin.replace("\n", "")
     writeUtf8(ffs, new HPath(finalDir(c.out), "summary.json"), summary)

@@ -73,6 +73,12 @@ class TranscriptJobsSpec extends SparkTestBase {
       s"kll p50 ${r.textLenP50} vs exact $exactP50")
     assert(r.processedParts.map(_.rows).sum === exactRows)
     assert(SketchBuildJob.completedParts(out).size === nParts)
+    // SpaceSaving top tools: exact vs groupBy counts (capacity >= vocab)
+    val exactToolCounts = df.filter(F.col("tool").isNotNull)
+      .groupBy("tool").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r.topTools.nonEmpty)
+    r.topTools.foreach { case (t, cnt) => assert(exactToolCounts(t) === cnt, s"tool=$t") }
   }
 
   test("kill/resume: second run recomputes only missing parts, final state identical") {
@@ -91,7 +97,8 @@ class TranscriptJobsSpec extends SparkTestBase {
     assert(r2.skippedParts.toSet === r1.processedParts.map(_.partId).toSet)
     assert(SketchBuildJob.completedParts(outResume).size === nParts)
     // final merged sketches byte-identical to the uninterrupted run
-    for (f <- Seq("hll_conv.bin", "hll_tool.bin", "cms_roletool.bin", "kll_textlen.bin")) {
+    for (f <- Seq("hll_conv.bin", "hll_tool.bin", "cms_roletool.bin",
+        "kll_textlen.bin", "hh_tool.bin")) {
       val a = Files.readAllBytes(java.nio.file.Paths.get(outFull, "final", f))
       val b = Files.readAllBytes(java.nio.file.Paths.get(outResume, "final", f))
       assert(java.util.Arrays.equals(a, b), s"final $f differs after resume")
