@@ -44,6 +44,10 @@ object SparkEntry {
     // widths (LongHash.java:24-48).
     "hash64_projection" -> ((s, dir) => {
       val kernels = Seq("murmur2", "jenkins", "fnv1", "fnv1a", "hsieh", "cwow", "sha1prng")
+      // k-vector forms are flattened to scalar columns (element_at per
+      // index) — same kernel coverage, but every output column is a
+      // scalar the driver's canonicalizer can sort (array columns cannot
+      // be lex-sorted by the harness)
       val cols =
         F.col("o_orderkey") +:
         (kernels.map(k => graft_hash64(F.col("o_orderstatus"), k).as(s"h64_$k")) ++
@@ -51,11 +55,15 @@ object SparkEntry {
          Seq(
            graft_hash64_seeded(F.col("o_orderpriority"), F.lit(12345L)).as("h64_seed_murmur2"),
            graft_hash64_seeded(F.col("o_orderpriority"), F.lit(7L), "jenkins").as("h64_seed_jenkins"),
-           graft_hash32_seeded(F.col("o_orderpriority"), F.lit(777)).as("h32_seed_murmur2"),
-           graft_hash64_k(F.col("o_orderstatus"), F.lit(3)).as("h64k_murmur2"),
-           graft_hash64_k(F.col("o_orderstatus"), F.lit(3), "fnv1a").as("h64k_fnv1a"),
-           graft_hash32_k(F.col("o_orderstatus"), F.lit(3)).as("h32k_murmur2"),
-           graft_hash32_k(F.col("o_orderstatus"), F.lit(3), "hsieh").as("h32k_hsieh")))
+           graft_hash32_seeded(F.col("o_orderpriority"), F.lit(777)).as("h32_seed_murmur2")) ++
+         (1 to 3).map(i => F.element_at(
+           graft_hash64_k(F.col("o_orderstatus"), F.lit(3)), i).as(s"h64k_murmur2_$i")) ++
+         (1 to 3).map(i => F.element_at(
+           graft_hash64_k(F.col("o_orderstatus"), F.lit(3), "fnv1a"), i).as(s"h64k_fnv1a_$i")) ++
+         (1 to 3).map(i => F.element_at(
+           graft_hash32_k(F.col("o_orderstatus"), F.lit(3)), i).as(s"h32k_murmur2_$i")) ++
+         (1 to 3).map(i => F.element_at(
+           graft_hash32_k(F.col("o_orderstatus"), F.lit(3), "hsieh"), i).as(s"h32k_hsieh_$i")))
       read(s, dir, "orders").select(cols: _*).orderBy("o_orderkey")
     }),
 
@@ -93,6 +101,39 @@ object SparkEntry {
       sk.select(
         tdigest_quantile(F.col("sk"), F.lit(0.5)).as("p50"),
         tdigest_quantile(F.col("sk"), F.lit(0.99)).as("p99"))
+    }),
+
+    // t-digest exact anchors: the sketch tracks exact min/max and q<=0 /
+    // q>=1 return them verbatim (TDigestSketch.quantile) — so the extreme
+    // quantiles of the ESTIMATOR have an exact DuckDB oracle even though
+    // mid-quantiles are estimates (those stay bound-tested in
+    // SketchAccuracySpec and rows-only in tdigest_quantiles above).
+    "tdigest_extremes" -> ((s, dir) => {
+      val sk = read(s, dir, "lineitem")
+        .groupBy(F.col("l_returnflag"))
+        .agg(tdigest_sketch(F.col("l_extendedprice"), 100.0).as("sk"))
+      sk.select(F.col("l_returnflag"),
+          tdigest_quantile(F.col("sk"), F.lit(0.0)).as("p0"),
+          tdigest_quantile(F.col("sk"), F.lit(1.0)).as("p100"))
+        .orderBy("l_returnflag")
+    }),
+
+    // KLL in the exact regime: with k >= the largest group's row count the
+    // sketch never compacts (a single level-0 compactor holds every value
+    // at weight 1), so kll_quantile degenerates to the exact order
+    // statistic at rank ceil(q*n) — an exact DuckDB oracle for the same
+    // code path the estimates run (same trick as cms_event_counts /
+    // hh_topk). The approximation regime is bound-tested in
+    // SketchAccuracySpec. ~600 rows/supplier at sf0.1 vs k=8192.
+    "kll_quantiles_exact" -> ((s, dir) => {
+      read(s, dir, "lineitem")
+        .groupBy(F.col("l_suppkey"))
+        .agg(kll_sketch(F.col("l_quantity").cast("double"), 8192).as("sk"))
+        .select(F.col("l_suppkey"),
+          kll_quantile(F.col("sk"), F.lit(0.25)).as("q25"),
+          kll_quantile(F.col("sk"), F.lit(0.5)).as("q50"),
+          kll_quantile(F.col("sk"), F.lit(0.95)).as("q95"))
+        .orderBy("l_suppkey")
     }),
 
     // count-min frequency estimates per distinct key (SURVEY.md §2.6,
@@ -171,8 +212,12 @@ object SparkEntry {
     "bloom_probe_members" -> ((s, dir) => {
       val orders = read(s, dir, "orders")
       val built = orders.filter(F.col("o_orderstatus") === "F")
+      // sized from the build side (the mkblm sizing rule, same as
+      // BloomJoin.keySketch) — a hardcoded capacity silently degrades FPR
+      // at larger scale factors
+      val maxSize = math.max(128L, built.count())
       val sketch = built.agg(
-        bloom_sketch(F.col("o_orderkey"), 100000, 16)).head().getAs[Array[Byte]](0)
+        bloom_sketch(F.col("o_orderkey"), maxSize, 16)).head().getAs[Array[Byte]](0)
       // probe the full table; members always pass, non-members pass at
       // FPR ~0.62^16 (~ none at this scale) — rows-only checked
       orders.filter(bloom_might_contain(F.lit(sketch), F.col("o_orderkey")))
@@ -225,6 +270,23 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "l_partkey")
     }),
 
+    // ASSOCIATIVE-mode getMulti (Header2.java:79, FileOperations2.java:
+    // 260-263): retrieval by 64-bit HASH equality only — key bytes are
+    // never compared. Equal to the exact key join absent collisions
+    // (murmur64 over <=150k orderkeys), so kv_multi_get's oracle applies
+    // verbatim; the hash-equality-only bag semantics (a manufactured
+    // 32-bit collision retrieving both keys' values) are pinned in
+    // OpsSpec.
+    "kv_multi_get_by_hash" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val probeKeys = read(s, dir, "orders")
+        .filter(F.col("o_orderstatus") === "P")
+        .select(F.col("o_orderkey"))
+      graft.ops.KvLookup.multiGetByHash(li, "l_orderkey", probeKeys, "o_orderkey")
+        .select(F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_partkey"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")
+    }),
+
     // ---- training-data ops over the documents/embeddings tables ----
 
     // exact dedup with planted duplicates (doc_id+100000 copies): keeps
@@ -238,21 +300,43 @@ object SparkEntry {
 
     // STREAMING exact dedup through the real Structured Streaming engine:
     // file-source stream -> stateful firstSeen -> memory sink, then the
-    // sink read back as the result. Single input file = single micro-
-    // batch, so kept id = min doc_id per distinct text — an exact DuckDB
-    // oracle for a streaming pipeline. (Multi-batch suppression semantics
-    // are pinned separately in StreamingSketchSpec.)
+    // sink read back as the result. TWO staged files processed as TWO
+    // micro-batches (maxFilesPerTrigger=1, mtime-ordered): batch 1 is the
+    // original table, batch 2 a shifted-id copy with identical texts — so
+    // CROSS-BATCH state suppression is what the oracle checks (batch 2
+    // must contribute zero rows). Kept id = min doc_id per distinct text:
+    // exact DuckDB oracle.
     "streaming_dedup" -> ((s, dir) => {
       val path = s"$dir/documents.parquet"
-      // the file streaming source lists a DIRECTORY; stage the single
-      // table file into one (same input bytes, streaming-source layout)
+      // the file streaming source lists a DIRECTORY; stage the files into
+      // one, ordered by explicit modification times (the source's file
+      // ordering key)
       val staged = java.nio.file.Files.createTempDirectory("graft_sd_in")
-      val stagedFile = staged.resolve("part-0.parquet")
-      java.nio.file.Files.copy(java.nio.file.Paths.get(path), stagedFile)
-      stagedFile.toFile.deleteOnExit()
+      val batch0 = staged.resolve("batch-0.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(path), batch0)
+      // batch 2: same texts under shifted ids (every row a cross-batch dup)
+      val dupDir = java.nio.file.Files.createTempDirectory("graft_sd_dup")
+      s.read.parquet(path)
+        .withColumn("doc_id", F.col("doc_id") + 1000000L)
+        .coalesce(1).write.mode("overwrite").parquet(dupDir.toString)
+      val dupPart = {
+        val l = java.nio.file.Files.list(dupDir)
+        try l.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally l.close()
+      }
+      val batch1 = staged.resolve("batch-1.parquet")
+      java.nio.file.Files.move(dupPart, batch1)
+      java.nio.file.Files.setLastModifiedTime(batch0,
+        java.nio.file.attribute.FileTime.fromMillis(1600000000000L))
+      java.nio.file.Files.setLastModifiedTime(batch1,
+        java.nio.file.attribute.FileTime.fromMillis(1600000060000L))
+      Seq(batch0, batch1).foreach(_.toFile.deleteOnExit())
       staged.toFile.deleteOnExit()
       val schema = s.read.parquet(path).schema
-      val stream = s.readStream.schema(schema).parquet(staged.toString)
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged.toString)
       val name = s"sd_out_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       // state-store count = shuffle partitions, fixed at query start and
       // each paying per-batch init/commit; at this probe scale that fixed
@@ -379,6 +463,29 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // multimodal decode + pixel-level dedup through the REAL codec path:
+    // 64 PNGs are synthesized in-query (seeded pixels -> ImageIO encode on
+    // executors; the testdata ships no binary table), decoded back with
+    // javax.imageio, and deduped on the decoded-pixel fingerprint. Ids
+    // >= 48 are pixel-identical twins of id % 48, so canonical_id is
+    // exactly asset_id % 48 IFF decode + fingerprint + dedup all work —
+    // and decoded dims/channels must round-trip the encoder's. All of
+    // that is SQL-expressible over generate_series: an exact oracle for
+    // the one component the driver contract never touched before.
+    "multimodal_decode" -> ((s, dir) => {
+      val assets = graft.ops.Multimodal.generatePngAssets(s, 64, distinctPixels = 48)
+      val dec = graft.ops.Multimodal.decodeImages(assets).toDF()
+      val canon = dec.groupBy(F.col("pixels_fingerprint"))
+        .agg(F.min(F.col("asset_id")).as("canonical_id"))
+      dec.join(canon, "pixels_fingerprint")
+        .select(F.col("asset_id"),
+          F.col("width").cast("long").as("width"),
+          F.col("height").cast("long").as("height"),
+          F.col("channels").cast("long").as("channels"),
+          F.col("canonical_id"))
+        .orderBy("asset_id")
+    }),
+
     // per-document analysis projections: deterministic custom
     // expressions, rows-only (pinned by OpsSpec goldens/properties)
     "doc_text_analysis" -> ((s, dir) => {
@@ -429,6 +536,49 @@ object SparkEntry {
         |JOIN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P') p
         |  ON li.l_orderkey = p.o_orderkey
         |ORDER BY li.l_orderkey, li.l_linenumber, li.l_partkey""".stripMargin,
+
+    // associative mode retrieves by murmur64 equality only; with no
+    // collisions over the key population that equals the key join, so the
+    // kv_multi_get oracle applies verbatim
+    "kv_multi_get_by_hash" ->
+      """SELECT li.l_orderkey, li.l_linenumber, li.l_partkey
+        |FROM lineitem li
+        |JOIN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P') p
+        |  ON li.l_orderkey = p.o_orderkey
+        |ORDER BY li.l_orderkey, li.l_linenumber, li.l_partkey""".stripMargin,
+
+    // the sketch's exact regime (k >= group size, no compaction):
+    // kll_quantile(q) = value at the smallest 1-based rank r with
+    // r >= q*n, q*n computed in DOUBLE on both sides
+    "kll_quantiles_exact" ->
+      """WITH r AS (
+        |  SELECT l_suppkey, CAST(l_quantity AS DOUBLE) AS v,
+        |    row_number() OVER (PARTITION BY l_suppkey ORDER BY l_quantity) AS rn,
+        |    count(*) OVER (PARTITION BY l_suppkey) AS cnt
+        |  FROM lineitem
+        |)
+        |SELECT l_suppkey,
+        |  max(CASE WHEN rn = CAST(ceil(CAST(0.25 AS DOUBLE) * cnt) AS BIGINT) THEN v END) AS q25,
+        |  max(CASE WHEN rn = CAST(ceil(CAST(0.5 AS DOUBLE) * cnt) AS BIGINT) THEN v END) AS q50,
+        |  max(CASE WHEN rn = CAST(ceil(CAST(0.95 AS DOUBLE) * cnt) AS BIGINT) THEN v END) AS q95
+        |FROM r GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    // t-digest q<=0 / q>=1 return the tracked exact extremes
+    "tdigest_extremes" ->
+      """SELECT l_returnflag,
+        |  CAST(min(l_extendedprice) AS DOUBLE) AS p0,
+        |  CAST(max(l_extendedprice) AS DOUBLE) AS p100
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the synthesized-PNG corpus is a pure function of (id, seed): decoded
+    // dims/channels and the pixel-dedup canonical id are closed-form
+    "multimodal_decode" ->
+      """SELECT CAST(i AS BIGINT) AS asset_id,
+        |  CAST(16 + (i % 48) % 16 AS BIGINT) AS width,
+        |  CAST(16 + (i % 48) % 8 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  CAST(i % 48 AS BIGINT) AS canonical_id
+        |FROM generate_series(0, 63) t(i) ORDER BY asset_id""".stripMargin,
 
     "exact_dedup" ->
       """SELECT min(doc_id) AS doc_id FROM (

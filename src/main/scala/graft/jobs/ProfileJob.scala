@@ -78,7 +78,10 @@ object ProfileJob {
         dtype = f.dataType.simpleString,
         nulls = row.getAs[Long](s"${f.name}__nulls"),
         approxDistinct = hll,
-        quantiles = kll.map(sk => Quantiles.map { case (n, q) => n -> sk.quantile(q) }.toMap),
+        // gate on n > 0 like histogram: an empty/all-null column's KLL
+        // yields NaN quantiles, which are not valid JSON
+        quantiles = kll.filter(_.n > 0).map(sk =>
+          Quantiles.map { case (n, q) => n -> sk.quantile(q) }.toMap),
         histogram = kll.filter(_.n > 0).map { sk =>
           val lo = sk.quantile(0.0)
           val hi = sk.quantile(1.0)
@@ -100,13 +103,18 @@ object ProfileJob {
     TableProfile(rows, cols.toSeq)
   }
 
-  private def jsonStr(s: String): String =
+  /** JSON string escaper, shared with the other jobs' summary writers. */
+  private[jobs] def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+
+  /** NaN/Infinity have no JSON literal — render as null. */
+  private def jsonNum(v: Double): String =
+    if (v.isNaN || v.isInfinite) "null" else v.toString
 
   def toJson(p: TableProfile): String = {
     val cols = p.columns.map { c =>
@@ -117,11 +125,12 @@ object ProfileJob {
       c.approxDistinct.foreach(d => parts += s"${jsonStr("approx_distinct")}: $d")
       c.quantiles.foreach { qs =>
         val inner = qs.toSeq.sortBy(_._1)
-          .map { case (n, v) => s"${jsonStr(n)}: $v" }.mkString(", ")
+          .map { case (n, v) => s"${jsonStr(n)}: ${jsonNum(v)}" }.mkString(", ")
         parts += s"${jsonStr("quantiles")}: {$inner}"
       }
       c.histogram.foreach { h =>
-        val inner = h.map { case (lo, hi, cnt) => s"[$lo, $hi, $cnt]" }.mkString(", ")
+        val inner = h.map { case (lo, hi, cnt) =>
+          s"[${jsonNum(lo)}, ${jsonNum(hi)}, $cnt]" }.mkString(", ")
         parts += s"${jsonStr("histogram")}: [$inner]"
       }
       c.topValues.foreach { tv =>

@@ -66,6 +66,11 @@ object SketchBuildJob {
       textLenP99: Double,
       topTools: Seq[(String, Long)])
 
+  /** Version of the per-part parquet schema; recorded in config.json so a
+    * resume can tell which library wrote existing parts. Bump whenever a
+    * sketch column is added/removed/re-encoded. */
+  final val PartSchemaVersion = 2
+
   private def manifestDir(out: String): HPath = new HPath(out, "_manifest")
   private def partsDir(out: String): String = s"$out/parts"
   private def finalDir(out: String): HPath = new HPath(out, "final")
@@ -135,7 +140,8 @@ object SketchBuildJob {
     val cfgFile = new HPath(manifestDir(c.out), "config.json")
     if (!mfs.exists(cfgFile)) {
       val cfgJson = "{" + "\"n_parts\":" + (allParts.max + 1) +
-        ",\"input\":\"" + c.input + "\"}"
+        ",\"schema_version\":" + PartSchemaVersion +
+        ",\"input\":" + ProfileJob.jsonStr(c.input) + "}"
       writeUtf8(mfs, cfgFile, cfgJson)
     }
     val done = completedParts(c.out, conf)
@@ -156,7 +162,7 @@ object SketchBuildJob {
           .parquet(partsDir(c.out))
         val wallMs = (System.nanoTime() - t0) / 1000000
         // lineage + metrics from the written (small) per-part rows
-        val written = spark.read.parquet(partsDir(c.out))
+        val written = spark.read.option("mergeSchema", "true").parquet(partsDir(c.out))
           .filter(F.col(TranscriptTable.PartCol).isin(pending: _*))
           .select(F.col(TranscriptTable.PartCol), F.col("rows"),
             hll_estimate(F.col("hll_conv")).as("est_convs"))
@@ -175,10 +181,32 @@ object SketchBuildJob {
       }
 
     // global rollup over ALL completed parts (previous + this run):
-    // reads only the per-part sketch rows — O(parts), not O(rows)
+    // reads only the per-part sketch rows — O(parts), not O(rows).
+    // mergeSchema=true because a resumed build may mix part files written
+    // by different library versions: parquet otherwise samples ONE footer
+    // and silently drops (or nulls) columns the sampled file lacks.
     val nowDone = completedParts(c.out, conf)
-    val finalRow = spark.read.parquet(partsDir(c.out))
+    val partsAll = spark.read.option("mergeSchema", "true").parquet(partsDir(c.out))
       .filter(F.col(TranscriptTable.PartCol).isin(nowDone.toSeq: _*))
+    // fail loudly on parts from an older schema rather than silently
+    // rolling up stats that cover only the newer parts (SketchMerge
+    // aggregates skip nulls, which would mask the gap)
+    val required = Seq("rows", "hll_conv", "hll_tool", "cms_roletool",
+      "kll_textlen", "hh_tool", "bloom_conv")
+    val missingCols = required.filterNot(partsAll.columns.contains)
+    require(missingCols.isEmpty,
+      s"parts at ${partsDir(c.out)} were built by an older version " +
+        s"(missing columns: ${missingCols.mkString(", ")}); rebuild the " +
+        "bank (delete _manifest + parts) or roll up with the old library")
+    val staleParts = partsAll
+      .filter(required.map(F.col(_).isNull).reduce(_ || _))
+      .select(F.col(TranscriptTable.PartCol)).collect().map(_.getInt(0)).sorted
+    require(staleParts.isEmpty,
+      s"parts ${staleParts.mkString(", ")} at ${partsDir(c.out)} have null " +
+        "sketch columns (built by an older version); delete their " +
+        "_manifest/part-*.json entries to rebuild them, or roll up with " +
+        "the old library")
+    val finalRow = partsAll
       .agg(
         F.sum(F.col("rows")).as("rows"),
         hll_merge(F.col("hll_conv")).as("hll_conv"),
@@ -220,7 +248,8 @@ object SketchBuildJob {
       topTools = hhTool.topK(10).map { case (t, cnt, _) => (t, cnt) })
 
     val topToolsJson = result.topTools
-      .map { case (t, cnt) => s"""["$t",$cnt]""" }.mkString("[", ",", "]")
+      .map { case (t, cnt) => s"[${ProfileJob.jsonStr(t)},$cnt]" }
+      .mkString("[", ",", "]")
     val summary =
       s"""{"rows":$totalRows,"est_distinct_convs":${result.estDistinctConvs},
          |"est_distinct_tools":${result.estDistinctTools},

@@ -80,6 +80,46 @@ object Multimodal {
     }
   }
 
+  /** Deterministic REAL-PNG corpus: seeded murmur pixels -> BufferedImage
+    * -> `ImageIO.write(png)` on the executors — genuine encoded image
+    * bytes with zero external data, so the decode path
+    * (`decodeImages`/`decodeImage`) runs the real `javax.imageio` codec
+    * end to end. Pixel content is keyed by `asset_id % distinctPixels`:
+    * ids beyond `distinctPixels` are pixel-identical duplicates of their
+    * `id % distinctPixels` twin (for dedup tests, the canonical id of
+    * asset i is exactly i % distinctPixels). Twins are encoded in a
+    * DIFFERENT container (bmp vs png) — byte-UNidentical, pixel-identical
+    * — so a dedup keyed on DECODED pixels finds them and one keyed on
+    * encoded bytes provably cannot. Encoding a fixed pixel grid is a pure
+    * function, so regeneration is byte-identical. */
+  def generatePngAssets(spark: SparkSession, n: Long, distinctPixels: Long,
+      seed: Long = 42L): Dataset[Asset] = {
+    require(distinctPixels > 0, "distinctPixels must be > 0")
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val pix = i % distinctPixels
+      val w = 16 + (pix % 16).toInt
+      val h = 16 + (pix % 8).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = Murmur2Kernel.hash64Seeded(
+            graft.core.ByteOps.utf8(s"png:$pix:$x:$y"), seed)
+          img.setRGB(x, y, (v & 0xffffffL).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val fmt = if (i == pix) "png" else "bmp" // twins: other container
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      Asset(i, "image", bos.toByteArray, w, h, 0, fmt)
+    }
+  }
+
   /** Size-aware repartitioning: binary workloads must balance BYTES per
     * task, not rows — a 4KB-thumbnail partition and a 64KB-video
     * partition with equal row counts differ 16x in work. One lightweight

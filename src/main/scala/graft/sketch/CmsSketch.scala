@@ -51,6 +51,11 @@ final class CmsSketch private (
   @transient private lazy val scratch = new Array[Long](depth)
 
   def update(data: Array[Byte], count: Long = 1L): Unit = {
+    // cash-register model only (matches CmsWeightedAgg's contract): a
+    // zero count would insert a zero-valued sparse entry that dense state
+    // never records, breaking canonical equal-state-equal-bytes; negative
+    // counts break the one-sided error bound
+    require(count > 0, s"count must be > 0, got $count")
     val codes = scratch
     kernel.hash64Into(data, depth, codes)
     var i = 0

@@ -88,6 +88,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("hh_merge", { case Seq(c) => HeavyHittersMergeAgg(c).toAggregateExpression() })
     register("hh_topk", { case Seq(s, k) => HhTopK(s, k) })
     register("hh_estimate", { case Seq(s, i) => HhEstimate(s, i) })
+    // SQL-caller contract: within a task, all rows with a given part id
+    // must carry the same sketch value (the one-row-per-part join shape;
+    // see BloomBankContains scaladoc) — the per-task cache is keyed by
+    // part id alone so hits never deserialize the binary column again.
     register("bloom_bank_contains", { case Seq(p, s, v) => BloomBankContains(p, s, v) })
     register("top_k_by", {
       case Seq(v, score, k) => TopKByAgg(v, score, litInt(k)).toAggregateExpression()

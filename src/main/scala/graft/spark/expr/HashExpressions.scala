@@ -16,17 +16,23 @@ import graft.core.hash.{HashKernel64, HashKernels}
   * stays inside whole-stage codegen.
   *
   * Input may be string (hashed as UTF-8 bytes, exactly like the
-  * reference's String overloads) or binary.
+  * reference's String overloads), binary, or any integral/date/boolean
+  * type — those canonicalize to 8-byte big-endian EXACTLY like the sketch
+  * aggregate/probe sides (ValueBytes), so `graft_hash64(key)` of a
+  * bigint column and `bloom_might_contain` over the same column agree on
+  * the hashed bytes.
   */
 trait GraftHashExpression { self: Expression =>
   def kernelName: String
 
-  /** string or binary accepted for hashed operands. */
-  protected final def checkHashable(dt: DataType, pos: String): TypeCheckResult = dt match {
-    case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires string or binary for $pos argument, got ${other.catalogString}")
-  }
+  /** sketchable types accepted for hashed operands (see ValueBytes). */
+  protected final def checkHashable(dt: DataType, pos: String): TypeCheckResult =
+    graft.spark.agg.ValueBytes.checkSketchable(prettyName, dt) match {
+      case TypeCheckResult.TypeCheckSuccess => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string, binary, integral, date or boolean " +
+          s"$pos argument, got ${dt.catalogString}")
+    }
 
   protected final def checkExact(dt: DataType, want: DataType, pos: String): TypeCheckResult =
     if (dt == want) TypeCheckResult.TypeCheckSuccess
@@ -35,17 +41,33 @@ trait GraftHashExpression { self: Expression =>
 
   @transient protected final lazy val kernel: HashKernel64 = HashKernels(kernelName)
 
-  protected final def childBytes(value: Any, dt: DataType): Array[Byte] = dt match {
-    case StringType => value.asInstanceOf[UTF8String].getBytes
-    case BinaryType => value.asInstanceOf[Array[Byte]]
-    case other => throw new IllegalStateException(s"unsupported input type $other")
-  }
+  protected final def childBytes(value: Any, dt: DataType): Array[Byte] =
+    graft.spark.agg.ValueBytes.toBytes(value, dt)
 
-  /** Codegen snippet turning the child's generated value into byte[]. */
+  /** Codegen snippet turning the child's generated value into byte[]
+    * (mirror of ValueBytes.toBytes over codegen's physical types). */
   protected final def bytesCode(childValue: String, dt: DataType): String = dt match {
     case StringType => s"$childValue.getBytes()"
     case BinaryType => childValue
+    case LongType | TimestampType =>
+      s"graft.spark.expr.ValueCanon.longBE($childValue)"
+    case IntegerType | DateType | ShortType | ByteType =>
+      s"graft.spark.expr.ValueCanon.longBE((long) $childValue)"
+    case BooleanType =>
+      s"graft.spark.expr.ValueCanon.longBE($childValue ? 1L : 0L)"
     case other => throw new IllegalStateException(s"unsupported input type $other")
+  }
+}
+
+/** Static canonicalizer callable from generated code: integral values
+  * hash as 8-byte big-endian (the ValueBytes rule). Top-level object =>
+  * Scala emits a static forwarder `ValueCanon.longBE` for codegen. */
+object ValueCanon {
+  def longBE(v: Long): Array[Byte] = {
+    val out = new Array[Byte](8)
+    var i = 0
+    while (i < 8) { out(i) = (v >>> (56 - 8 * i)).toByte; i += 1 }
+    out
   }
 }
 

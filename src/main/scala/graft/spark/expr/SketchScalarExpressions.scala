@@ -298,6 +298,15 @@ case class HhEstimate(left: Expression, right: Expression)
   * member); null sketch (part not built yet in a resuming bank) => TRUE —
   * Bloom can never prove absence, so an unbuilt part must not produce
   * false negatives (and the reverse/anti filter stays exact).
+  *
+  * CONTRACT (holds by construction for `ProbeJob.probeBank`, and is the
+  * caller's obligation for the public SQL form): within a task, every row
+  * carrying a given part id must carry the SAME sketch value — the
+  * one-row-per-part join shape. The per-task cache is keyed by part id
+  * alone (the deferred-eval codegen exists precisely so cache hits never
+  * touch the binary column), so rows pairing one part id with different
+  * sketch bytes — or a null row before a built row — would silently get
+  * whichever filter the task saw first.
   */
 case class BloomBankContains(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {

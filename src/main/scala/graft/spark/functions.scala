@@ -15,7 +15,9 @@ object functions {
 
   // ---- hash projections (reference LongHash SPI, LongHash.java:24-48) ----
 
-  /** 64-bit kernel hash; strings hash as UTF-8 bytes. */
+  /** 64-bit kernel hash; strings hash as UTF-8 bytes, integral/date/
+    * boolean values as canonical 8-byte big-endian (the same ValueBytes
+    * rule the sketch aggregates and probes use). */
   def graft_hash64(c: Column, kernel: String = "murmur2"): Column =
     column(GraftHash64(expression(c), kernel))
 

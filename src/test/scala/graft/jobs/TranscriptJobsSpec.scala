@@ -199,4 +199,25 @@ class TranscriptJobsSpec extends SparkTestBase {
     assert(joined.filter($"text" =!= $"text2").count() === 0)
     assert(joined.count() === df.count())
   }
+
+  test("resume over parts written by an older schema fails loudly, not silently") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val out = s"$workDir/build_stale"
+    SketchBuildJob.run(spark,
+      SketchBuildJob.Config(tablePath, out, maxPartsPerRun = Some(3)))
+    // simulate a part written by an older library version: rewrite one
+    // COMPLETED part's file without the hh_tool column
+    val victim = SketchBuildJob.completedParts(out).min
+    val pdir = s"$out/parts/part_id=$victim"
+    val tmp = s"$workDir/stale_tmp"
+    spark.read.parquet(pdir).drop("hh_tool").write.mode("overwrite").parquet(tmp)
+    val hfs = new HPath(pdir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(hfs.delete(new HPath(pdir), true))
+    assert(hfs.rename(new HPath(tmp), new HPath(pdir)))
+    // the resumed rollup must refuse to aggregate a silently-partial bank
+    val ex = intercept[IllegalArgumentException] {
+      SketchBuildJob.run(spark, SketchBuildJob.Config(tablePath, out))
+    }
+    assert(ex.getMessage.contains("older version"), ex.getMessage)
+  }
 }

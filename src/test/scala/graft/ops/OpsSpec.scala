@@ -250,4 +250,43 @@ class OpsSpec extends SparkTestBase {
       .select(TextAnalysis.token_count($"t")).collect().map(_.getInt(0))
     assert(tc.toSeq === Seq(0, 0, 1, 2))
   }
+
+  test("associative multiGetByHash equals the exact key join when collision-free") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val probes = spark.read.parquet(s"$sf/orders.parquet")
+      .filter($"o_orderstatus" === "P").select($"o_orderkey")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int)] =
+      df.select($"l_orderkey".cast("long"), $"l_linenumber".cast("int"))
+        .as[(Long, Int)].collect().toSeq.sorted
+    val byHash = rows(KvLookup.multiGetByHash(li, "l_orderkey", probes, "o_orderkey"))
+    val byKey = rows(li.join(
+      F.broadcast(probes.withColumnRenamed("o_orderkey", "l_orderkey")), "l_orderkey"))
+    assert(byHash.nonEmpty)
+    assert(byHash === byKey)
+  }
+
+  test("associative semantics: hash equality only — a colliding key's values come back too") {
+    // manufactured murmur2-32 collision (birthday search over "k$i"):
+    // the reference forbids the int-hash family for associative files for
+    // exactly this reason (HashFile2Builder.java:80-84)
+    import graft.core.ByteOps.utf8
+    import graft.core.hash.Murmur2Kernel
+    assert(Murmur2Kernel.hash32(utf8("k10903")) === Murmur2Kernel.hash32(utf8("k44163")))
+    val table = Seq(("k10903", "v1"), ("k44163", "v2"), ("kother", "v3"))
+      .toDF("key", "value")
+    val probes = Seq("k10903").toDF("pkey")
+    val got32 = KvLookup.multiGetByHash(table, "key", probes, "pkey", longHash = false)
+      .select("key", "value").as[(String, String)].collect().toSet
+    // the bag retrieves BOTH colliding keys' values — key bytes are never verified
+    assert(got32 === Set("k10903" -> "v1", "k44163" -> "v2"))
+    // the 64-bit family (the reference's associative mandate) separates them
+    val got64 = KvLookup.multiGetByHash(table, "key", probes, "pkey")
+      .select("key", "value").as[(String, String)].collect().toSet
+    assert(got64 === Set("k10903" -> "v1"))
+    // duplicate probes do not multiply output rows
+    val dupProbes = Seq("k10903", "k10903", "kother").toDF("pkey")
+    val gotDup = KvLookup.multiGetByHash(table, "key", dupProbes, "pkey")
+      .count()
+    assert(gotDup === 2)
+  }
 }

@@ -270,4 +270,36 @@ class SketchAccuracySpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException](KllSketch(100).merge(KllSketch(200)))
   }
+
+  test("KLL exact regime (k >= n): quantile is the order statistic at the smallest rank >= q*n") {
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(1, 5, 100, 1000)) {
+      val vals = Array.fill(n)(rnd.nextInt(50).toDouble)
+      // single sketch
+      val sk = KllSketch(math.max(8, n + 1))
+      vals.foreach(sk.update)
+      // and the aggregation shape: partial sketches merged
+      val parts = vals.grouped(math.max(1, n / 3)).map { chunk =>
+        val p = KllSketch(math.max(8, n + 1))
+        chunk.foreach(p.update)
+        p
+      }.toSeq
+      val merged = parts.tail.foldLeft(parts.head)(_ merge _)
+      val sorted = vals.sorted
+      for (q <- Seq(0.01, 0.25, 0.5, 0.75, 0.95, 1.0)) {
+        val rank = math.max(1, math.ceil(q * n).toInt) // smallest r >= q*n
+        assert(sk.quantile(q) === sorted(rank - 1), s"n=$n q=$q single")
+        assert(merged.quantile(q) === sorted(rank - 1), s"n=$n q=$q merged")
+      }
+    }
+  }
+
+  test("CMS update rejects non-positive counts (cash-register model)") {
+    val cms = CmsSketch(5, 1024)
+    val x = graft.core.ByteOps.utf8("x")
+    intercept[IllegalArgumentException](cms.update(x, 0L))
+    intercept[IllegalArgumentException](cms.update(x, -3L))
+    cms.update(x, 2L) // positive still fine
+    assert(cms.estimate(x) === 2L)
+  }
 }
