@@ -109,6 +109,42 @@ object ScalingBench {
           // scalastyle:on println
         } finally spark.stop()
 
+      // ProfileJob at bench scale: the profiler is single-pass BY DESIGN
+      // (one aggregation job, the exchange carries one row of sketch
+      // buffers) — timing it over the scaling corpus catches regressions
+      // in that claim (e.g. an accidental per-column job).
+      case Some("profile") =>
+        val cores = argMap.getOrElse("--cores", "32").toInt
+        val spark = session(cores)
+        try {
+          val df = TranscriptTable.read(spark, corpus)
+          val rows = df.count()
+          graft.jobs.ProfileJob.profile(df) // warmup round
+          val times = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            graft.jobs.ProfileJob.profile(df)
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+          val median = times(times.length / 2)
+          val line =
+            s"""{"metric":"profile_wall","cores":$cores,"rows":$rows,"sec":${f"$median%.3f"},"rows_per_sec":${f"${rows / median}%.0f"}}"""
+          // scalastyle:off println
+          println(line)
+          // scalastyle:on println
+          val md =
+            s"""
+               |## Table profiler at bench scale (${java.time.LocalDate.now()})
+               |
+               |`ProfileJob.profile` (per-column null counts + HLL/KLL/SpaceSaving
+               |sketches for all 7 transcript columns) over the same corpus, one
+               |single-pass aggregation job at local[$cores]: **${f"$median%.2f"} s**
+               |(median of 3, ${f"${rows / median}%.0f"} turns/s over $rows rows).
+               |""".stripMargin
+          Files.write(Paths.get(argMap.getOrElse("--report", "BENCH.md")),
+            md.getBytes("UTF-8"),
+            StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        } finally spark.stop()
+
       case Some("summarize") =>
         val lines = Files.readAllLines(Paths.get(argMap("--json")))
         def field(line: String, name: String): Double =

@@ -289,4 +289,15 @@ class OpsSpec extends SparkTestBase {
       .count()
     assert(gotDup === 2)
   }
+
+  test("multiGetByHash plan: probe hashes broadcast, the table never shuffles") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val probes = spark.read.parquet(s"$sf/orders.parquet")
+      .filter($"o_orderstatus" === "P").select($"o_orderkey")
+    val plan = KvLookup.multiGetByHash(li, "l_orderkey", probes, "o_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"lookup lost its broadcast shape:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"table side must not shuffle:\n$plan")
+  }
 }

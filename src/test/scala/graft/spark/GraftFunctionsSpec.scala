@@ -45,6 +45,32 @@ class GraftFunctionsSpec extends SparkTestBase {
       s"plan lost codegen:\n$plan")
   }
 
+  test("integral/date/boolean inputs hash their canonical 8-byte-BE bytes (eval + codegen)") {
+    def be(v: Long): Array[Byte] =
+      (0 until 8).map(i => (v >>> (56 - 8 * i)).toByte).toArray
+    // codegen path: a non-literal column goes through bytesCode/ValueCanon
+    val df = spark.range(5).select(
+      F.col("id"),
+      graft_hash64(F.col("id")).as("hL"),
+      graft_hash64(F.col("id").cast("int")).as("hI"),
+      graft_hash64(F.col("id").cast("short")).as("hS"),
+      graft_hash64((F.col("id") % 2 === 0).as("b")).as("hB"),
+      graft_hash32(F.col("id")).as("h32"))
+    df.collect().foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) === Murmur2Kernel.hash64(be(id)), s"long $id")
+      assert(r.getLong(2) === Murmur2Kernel.hash64(be(id)), s"int $id")
+      assert(r.getLong(3) === Murmur2Kernel.hash64(be(id)), s"short $id")
+      assert(r.getLong(4) === Murmur2Kernel.hash64(be(if (id % 2 == 0) 1L else 0L)), s"bool $id")
+      assert(r.getInt(5) === Murmur2Kernel.hash32(be(id)), s"h32 $id")
+    }
+    // and the hash agrees with the sketch side's canonicalization: a Bloom
+    // built over a bigint column answers probes hashed the same way
+    val keys = spark.range(100).toDF("k")
+    val sk = keys.agg(bloom_sketch(F.col("k"), 128, 16)).head().getAs[Array[Byte]](0)
+    assert(keys.filter(bloom_might_contain(F.lit(sk), F.col("k"))).count() === 100)
+  }
+
   test("binary input hashes like byte[] overload; nulls propagate") {
     val df = Seq(Array[Byte](1, 2, 3), null).toDF("b")
       .withColumn("h", graft_hash64(F.col("b")))
