@@ -167,6 +167,48 @@ object SparkEntry {
         .orderBy(F.col("cnt").desc, F.col("item"))
     }),
 
+    // KLL rank in the exact regime (same k >= group size construction as
+    // kll_quantiles_exact): rank(v) sums the weights of stored items
+    // <= v, and with every item at weight 1 that is an exact conditional
+    // count — exact DuckDB oracle for the kll_rank expression.
+    "kll_rank_exact" -> ((s, dir) => {
+      read(s, dir, "lineitem")
+        .groupBy(F.col("l_suppkey"))
+        .agg(kll_sketch(F.col("l_quantity").cast("double"), 8192).as("sk"))
+        .select(F.col("l_suppkey"),
+          kll_rank(F.col("sk"), F.lit(10.0)).as("n_le_10"),
+          kll_rank(F.col("sk"), F.lit(25.0)).as("n_le_25"),
+          kll_rank(F.col("sk"), F.lit(40.0)).as("n_le_40"))
+        .orderBy("l_suppkey")
+    }),
+
+    // WEIGHTED count-min (cash-register model): per-language token volume
+    // over documents — each row adds its token count, not 1. With a
+    // handful of languages against width 2^14 there are no collisions, so
+    // estimates equal exact weighted sums: exact DuckDB oracle.
+    "cms_weighted_token_volume" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val w = TextAnalysis.token_count(F.col("text"))
+      val sk = docs.agg(cms_sketch_weighted(F.col("lang"), w, 5, 1 << 14))
+        .head().getAs[Array[Byte]](0)
+      docs.select(F.col("lang")).distinct()
+        .select(F.col("lang"), cms_estimate(F.lit(sk), F.col("lang")).as("est_tokens"))
+        .orderBy("lang")
+    }),
+
+    // WEIGHTED SpaceSaving: top languages by token VOLUME (not document
+    // count). Capacity 64 >= distinct languages => no evictions, counts
+    // exact, and `GROUP BY lang ORDER BY sum(tokens) DESC` is an exact
+    // oracle.
+    "hh_weighted_topk" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val w = TextAnalysis.token_count(F.col("text"))
+      docs.agg(hh_sketch_weighted(F.col("lang"), w, 64).as("sk"))
+        .select(F.posexplode(hh_topk(F.col("sk"), F.lit(10))).as(Seq("__pos", "__e")))
+        .select(F.col("__e.item").as("item"), F.col("__e.cnt").as("cnt"))
+        .orderBy(F.col("cnt").desc, F.col("item"))
+    }),
+
     // high-cardinality grouped sketch rollup: one HLL + one KLL PER GROUP
     // — the shape the sparse sketch buffers exist for (most groups touch
     // a handful of registers; dense buffers would cost 16 KB per group
@@ -232,6 +274,18 @@ object SparkEntry {
       val li = read(s, dir, "lineitem")
       val smallParts = read(s, dir, "part").filter(F.col("p_size") <= 5)
       graft.ops.BloomJoin.semi(li, "l_partkey", smallParts, "p_partkey")
+        .select(F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_partkey"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Bloom-accelerated exact ANTI join (ckblm -reverse as a join):
+    // Bloom-rejected rows are provably absent and ship join-free; only
+    // the "maybe" subset pays the exact anti join. Result equals a plain
+    // anti join — exact DuckDB oracle.
+    "bloom_anti_join" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val smallParts = read(s, dir, "part").filter(F.col("p_size") <= 5)
+      graft.ops.BloomJoin.anti(li, "l_partkey", smallParts, "p_partkey")
         .select(F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_partkey"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
@@ -562,6 +616,36 @@ object SparkEntry {
         |  max(CASE WHEN rn = CAST(ceil(CAST(0.5 AS DOUBLE) * cnt) AS BIGINT) THEN v END) AS q50,
         |  max(CASE WHEN rn = CAST(ceil(CAST(0.95 AS DOUBLE) * cnt) AS BIGINT) THEN v END) AS q95
         |FROM r GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    // exact regime again: rank = weighted count of stored items <= v
+    "kll_rank_exact" ->
+      """SELECT l_suppkey,
+        |  CAST(count(*) FILTER (WHERE l_quantity <= 10.0) AS BIGINT) AS n_le_10,
+        |  CAST(count(*) FILTER (WHERE l_quantity <= 25.0) AS BIGINT) AS n_le_25,
+        |  CAST(count(*) FILTER (WHERE l_quantity <= 40.0) AS BIGINT) AS n_le_40
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    // weighted CMS: per-language token volume, collision-free regime
+    "cms_weighted_token_volume" ->
+      """SELECT lang,
+        |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT)
+        |    AS est_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // weighted SpaceSaving: top languages by token volume, no-eviction regime
+    "hh_weighted_topk" ->
+      """SELECT lang AS item,
+        |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT)
+        |    AS cnt
+        |FROM documents GROUP BY lang ORDER BY cnt DESC, item LIMIT 10""".stripMargin,
+
+    "bloom_anti_join" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem li
+        |WHERE NOT EXISTS (SELECT 1 FROM part p
+        |  WHERE p.p_size <= 5 AND p.p_partkey = li.l_partkey)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // t-digest q<=0 / q>=1 return the tracked exact extremes
     "tdigest_extremes" ->

@@ -61,6 +61,9 @@ object BloomJoin {
     val maybe = large.filter(F.col(largeKey).isNull || pred)
       .join(small.select(F.col(smallKey).as(largeKey)).distinct(),
         Seq(largeKey), "left_anti")
-    definitelyAbsent.unionAll(maybe)
+    // unionByName, NOT positional unionAll: a using-column join moves the
+    // key column first in its output, so the two branches' column orders
+    // differ whenever largeKey is not large's first column
+    definitelyAbsent.unionByName(maybe)
   }
 }

@@ -231,6 +231,13 @@ class OpsSpec extends SparkTestBase {
     assert(anti.count() === exactAnti.count())
     assert(semi.count() + anti.count() === li.count())
     assert(semi.exceptAll(exactSemi).isEmpty && exactSemi.exceptAll(semi).isEmpty)
+    // row-level equality under an EXPLICIT column order (a using-column
+    // join puts the key first, so positional compares are meaningless
+    // without this — the count-only version of this check missed a
+    // column-order bug in anti's union)
+    val cols = li.columns.toSeq.map(F.col)
+    assert(anti.select(cols: _*).exceptAll(exactAnti.select(cols: _*)).isEmpty &&
+      exactAnti.select(cols: _*).exceptAll(anti.select(cols: _*)).isEmpty)
     // the bloom prefilter sits in the probe-side scan stage, before the join
     val plan = semi.queryExecution.executedPlan.toString
     assert(plan.contains("bloom_might_contain"), s"prefilter missing:\n$plan")
