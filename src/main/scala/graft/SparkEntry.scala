@@ -209,6 +209,50 @@ object SparkEntry {
         .orderBy(F.col("cnt").desc, F.col("item"))
     }),
 
+    // star-schema composition: CMS frequency rollup through two broadcast
+    // dimension joins (orders -> customer -> nation, region-filtered) —
+    // the engine in its natural warehouse shape. ~25 nations vs width
+    // 2^14 => collision-free, so estimates equal exact counts: exact
+    // DuckDB oracle across a 4-table join.
+    "cms_nation_orders" -> ((s, dir) => {
+      val orders = read(s, dir, "orders")
+      val cust = read(s, dir, "customer").select(F.col("c_custkey"), F.col("c_nationkey"))
+      val nation = read(s, dir, "nation")
+      val region = read(s, dir, "region").filter(F.col("r_name") =!= "AFRICA")
+      val dims = cust
+        .join(F.broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .join(F.broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .select(F.col("c_custkey"), F.col("n_name"))
+      val joined = orders.join(F.broadcast(dims),
+        orders("o_custkey") === dims("c_custkey"))
+      val sk = joined.agg(cms_sketch(F.col("n_name"), 5, 1 << 14))
+        .head().getAs[Array[Byte]](0)
+      joined.select(F.col("n_name")).distinct()
+        .select(F.col("n_name"), cms_estimate(F.lit(sk), F.col("n_name")).as("n_orders"))
+        .orderBy("n_name")
+    }),
+
+    // salted two-level KLL in the exact regime: level 1 groups by
+    // (returnflag, salt = murmur64(orderkey) mod 8) — the Zipf-hotspot
+    // splitting pattern from SketchBuildJob.perConvQuantiles — level 2
+    // kll_merge's the partials per returnflag. With k >= the whole
+    // group's row count nothing ever compacts, so the two-level result
+    // is EXACTLY the single-level order statistic: the salting path gets
+    // an exact DuckDB oracle, not just the in-suite bound test.
+    "kll_salted_exact" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val salt = F.pmod(murmur64(F.col("l_orderkey")), F.lit(8L))
+      li.withColumn("__salt", salt)
+        .groupBy(F.col("l_returnflag"), F.col("__salt"))
+        .agg(kll_sketch(F.col("l_quantity").cast("double"), 1 << 18).as("partial"))
+        .groupBy(F.col("l_returnflag"))
+        .agg(kll_merge(F.col("partial")).as("sk"))
+        .select(F.col("l_returnflag"),
+          kll_quantile(F.col("sk"), F.lit(0.5)).as("q50"),
+          kll_quantile(F.col("sk"), F.lit(0.9)).as("q90"))
+        .orderBy("l_returnflag")
+    }),
+
     // high-cardinality grouped sketch rollup: one HLL + one KLL PER GROUP
     // — the shape the sparse sketch buffers exist for (most groups touch
     // a handful of registers; dense buffers would cost 16 KB per group
@@ -632,6 +676,30 @@ object SparkEntry {
         |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT)
         |    AS est_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // star join, collision-free CMS regime
+    "cms_nation_orders" ->
+      """SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name <> 'AFRICA'
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+
+    // salted two-level merge, exact regime: same rank rule as
+    // kll_quantiles_exact
+    "kll_salted_exact" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS cnt
+        |  FROM lineitem
+        |)
+        |SELECT l_returnflag,
+        |  max(CASE WHEN rn = CAST(ceil(CAST(0.5 AS DOUBLE) * cnt) AS BIGINT) THEN v END) AS q50,
+        |  max(CASE WHEN rn = CAST(ceil(CAST(0.9 AS DOUBLE) * cnt) AS BIGINT) THEN v END) AS q90
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // weighted SpaceSaving: top languages by token volume, no-eviction regime
     "hh_weighted_topk" ->
