@@ -32,17 +32,24 @@ object KvLookup {
     * any probe row — the associative `getMulti`. The probe side is
     * deduplicated on the hash before broadcast so duplicate probes don't
     * multiply output rows (the reference probes a hash table: one probe
-    * per distinct hash). */
+    * per distinct hash).
+    *
+    * `broadcastProbes = true` (default) pins the point-lookup shape: the
+    * big table never shuffles. For probe sets too large to broadcast
+    * (beyond lookup semantics — effectively a join workload), pass
+    * false and the planner/AQE picks the join strategy from stats. */
   def multiGetByHash(table: DataFrame, keyCol: String,
       probes: DataFrame, probeKeyCol: String,
-      kernel: String = "murmur2", longHash: Boolean = true): DataFrame = {
+      kernel: String = "murmur2", longHash: Boolean = true,
+      broadcastProbes: Boolean = true): DataFrame = {
     val h = "__graft_kh"
     val probeHashes = probes
       .select(hashOf(F.col(probeKeyCol), kernel, longHash).as(h))
       .distinct()
+    val probeSide = if (broadcastProbes) F.broadcast(probeHashes) else probeHashes
     table
       .withColumn(h, hashOf(F.col(keyCol), kernel, longHash))
-      .join(F.broadcast(probeHashes), h)
+      .join(probeSide, h)
       .drop(h)
   }
 }

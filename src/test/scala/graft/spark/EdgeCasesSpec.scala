@@ -161,4 +161,27 @@ class EdgeCasesSpec extends SparkTestBase {
     val e2 = intercept[Exception](df.agg(kll_sketch($"arr", 200)).head())
     assert(e2.getMessage.contains("numeric") || e2.getMessage.contains("DATATYPE_MISMATCH"))
   }
+
+  test("multiGetByHash edges: empty probes, null keys dropped, non-broadcast mode agrees") {
+    val table = Seq(("a", 1), ("b", 2), (null, 3)).toDF("key", "value")
+    val noProbes = Seq.empty[String].toDF("pkey")
+    assert(graft.ops.KvLookup.multiGetByHash(table, "key", noProbes, "pkey").count() === 0)
+    // null keys hash to null and can never match a probe (the reference
+    // cannot store a null key at all)
+    val probes = Seq("a", "b").toDF("pkey")
+    val got = graft.ops.KvLookup.multiGetByHash(table, "key", probes, "pkey")
+      .select("value").as[Int].collect().sorted
+    assert(got.toSeq === Seq(1, 2))
+    // the non-broadcast (big-probe) mode returns identical rows
+    val got2 = graft.ops.KvLookup
+      .multiGetByHash(table, "key", probes, "pkey", broadcastProbes = false)
+      .select("value").as[Int].collect().sorted
+    assert(got2.toSeq === Seq(1, 2))
+  }
+
+  test("generatePngAssets edges: zero rows, invalid distinctPixels rejected") {
+    assert(graft.ops.Multimodal.generatePngAssets(spark, 0, 4).count() === 0)
+    intercept[IllegalArgumentException](
+      graft.ops.Multimodal.generatePngAssets(spark, 4, 0))
+  }
 }
