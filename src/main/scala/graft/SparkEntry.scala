@@ -368,6 +368,26 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "l_partkey")
     }),
 
+    // mkhf text ingestion (cmd/mkhf.java:63-87): newline-delimited
+    // key<TAB>value records, lowercase-before-split normalization, and
+    // the exactly-two-fields rule (malformed lines silently dropped,
+    // incl. the Java split trailing-empty subtlety). The table is staged
+    // as real text files in-query, read back through TextKvSource with
+    // lower=true, with planted BAD lines that must vanish. Exact oracle.
+    "text_kv_source" -> ((s, dir) => {
+      val staged = java.nio.file.Files.createTempDirectory("graft_tkv").toString
+      val orders = read(s, dir, "orders")
+      val lines = orders
+        .select(F.concat_ws("\t",
+          F.col("o_orderkey").cast("string"), F.col("o_orderpriority")).as("value"))
+        .unionAll(s.range(1).select(F.lit("BADLINE WITHOUT DELIMITER").as("value")))
+        .unionAll(s.range(1).select(F.lit("bad\tline\textra").as("value")))
+      lines.write.mode("overwrite").text(staged)
+      graft.sources.TextKvSource.read(s, staged, lower = true)
+        .withColumnRenamed("key", "k").withColumnRenamed("value", "v")
+        .orderBy("k", "v")
+    }),
+
     // ASSOCIATIVE-mode getMulti (Header2.java:79, FileOperations2.java:
     // 260-263): retrieval by 64-bit HASH equality only — key bytes are
     // never compared. Equal to the exact key join absent collisions
@@ -634,6 +654,12 @@ object SparkEntry {
         |JOIN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P') p
         |  ON li.l_orderkey = p.o_orderkey
         |ORDER BY li.l_orderkey, li.l_linenumber, li.l_partkey""".stripMargin,
+
+    // mkhf text ingestion: both planted BAD lines are dropped; values
+    // lowercase because normalization precedes splitting
+    "text_kv_source" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS k, lower(o_orderpriority) AS v
+        |FROM orders ORDER BY k, v""".stripMargin,
 
     // associative mode retrieves by murmur64 equality only; with no
     // collisions over the key population that equals the key join, so the

@@ -297,6 +297,38 @@ class OpsSpec extends SparkTestBase {
     assert(gotDup === 2)
   }
 
+  test("TextKvSource replicates Java String.split record semantics exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tkv_test").toString
+    val cases = Seq(
+      "a\tb", // plain 2-field: kept
+      "a\tb\t", // trailing empty field: Java split drops it -> kept
+      "\ta", // leading empty key: 2 fields -> kept (empty key)
+      "a\t\tb", // interior empty: 3 fields -> BAD
+      "a\tb\tc", // 3 fields -> BAD
+      "a\t", // 1 effective field -> BAD
+      "nodelim", // 1 field -> BAD
+      "", // empty line -> BAD
+      "A\tB") // uppercase: lowercased BEFORE split
+    spark.createDataset(cases)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    // cross-check the kept set against Java's own split on the same rules
+    val expected = cases.map(_.toLowerCase).flatMap { n =>
+      val v = n.split("\t")
+      if (v.length == 2) Some((v(0), v(1))) else None
+    }.sorted
+    val got = graft.sources.TextKvSource.read(spark, dir, lower = true)
+      .as[(String, String)].collect().toSeq.sorted
+    assert(got === expected)
+    assert(got.contains(("a", "b")) && got.contains(("", "a")))
+    // delimiter is a regex, like Java split
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_tkv_test2").toString
+    spark.createDataset(Seq("x12y"))(org.apache.spark.sql.Encoders.STRING)
+      .toDF("value").write.mode("overwrite").text(dir2)
+    val re = graft.sources.TextKvSource.read(spark, dir2, delim = "[0-9]+")
+      .as[(String, String)].collect().toSeq
+    assert(re === Seq(("x", "y")))
+  }
+
   test("multiGetByHash plan: probe hashes broadcast, the table never shuffles") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val probes = spark.read.parquet(s"$sf/orders.parquet")
