@@ -564,6 +564,15 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // EXACT n-gram Jaccard dedup (prefix-filtered AllPairs): unlike the
+    // LSH pipelines above this one has no probabilistic recall, so the
+    // full pair set is checkable against a brute-force SQL oracle
+    "ngram_jaccard_dups" -> ((s, dir) => {
+      val docs = read(s, dir, "documents").select(F.col("doc_id"), F.col("text"))
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.7)
+        .orderBy("id_a", "id_b")
+    }),
+
     "simhash_near_dups" -> ((s, dir) => {
       val docs = read(s, dir, "documents").select(F.col("doc_id"), F.col("text"))
       val mutated = docs.select((F.col("doc_id") + 100000).as("doc_id"),
@@ -763,6 +772,24 @@ object SparkEntry {
         |  SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents
         |) GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    // brute-force all-pairs trigram Jaccard — the prefix-filtered engine
+    // output must EQUAL this by the prefix-filtering completeness lemma
+    "ngram_jaccard_dups" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        |idx AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 1, 1))) AS i FROM w),
+        |tg AS (SELECT doc_id, list_element(ws, CAST(i AS INT)) || ' ' ||
+        |              list_element(ws, CAST(i AS INT) + 1) || ' ' ||
+        |              list_element(ws, CAST(i AS INT) + 2) AS sh FROM idx),
+        |t2 AS (SELECT DISTINCT doc_id, sh FROM tg),
+        |sz AS (SELECT doc_id, count(*) AS s FROM t2 GROUP BY 1),
+        |inter AS (SELECT a.doc_id ia, b.doc_id ib, count(*) i
+        |          FROM t2 a JOIN t2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT ia AS id_a, ib AS id_b, CAST(i AS DOUBLE) / (sa.s + sb.s - i) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+        |WHERE CAST(i AS DOUBLE) / (sa.s + sb.s - i) >= CAST(0.7 AS DOUBLE)
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "streaming_dedup" ->
       """SELECT d.doc_id, d.text FROM documents d

@@ -100,6 +100,104 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** EXACT word n-gram Jaccard near-duplicate pairs via prefix filtering
+    * (the AllPairs / PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    * ICDE'08). Unlike [[minhashLshPairs]] there is no signature and no
+    * probabilistic recall: the output EQUALS the brute-force all-pairs
+    * Jaccard join, but candidates are generated only from shingle
+    * PREFIXES under a global rarity order, so frequent shingles never
+    * drive the self-join.
+    *
+    * Prefix-filtering lemma: sort every document's distinct shingles by
+    * one global total order (ascending document frequency, ties by
+    * shingle). If Jaccard(A,B) >= t then |A ∩ B| >= ceil(t·|A|), and a
+    * set of that size cannot hide entirely in A's last ceil(t·|A|) - 1
+    * positions — so A's first |A| - ceil(t·|A|) + 1 shingles contain an
+    * intersection element, and symmetrically for B. Joining prefixes is
+    * therefore COMPLETE; the exact verification join makes it sound.
+    *
+    * 100 TB shape: one shuffle keyed by shingle computes document
+    * frequency; prefixes carry only (shingle, id, size) — never text;
+    * the verification joins shingle lists for candidate pairs only, and
+    * the floating-point slack on the ceil only ever lengthens prefixes
+    * (completeness is never rounding-dependent).
+    *
+    * The rarity-ordered per-doc shingle table is persisted
+    * (MEMORY_AND_DISK) because four plan branches consume it and Spark
+    * re-executes, not shares, common subplans; callers running many
+    * dedup passes in one session can release it with
+    * `spark.catalog.clearCache()`. */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
+    require(n >= 1, "shingle width must be >= 1")
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    // materialize the token array as a COLUMN before shingling —
+    // element_at over a raw split(...) expression would re-split the text
+    // for every lambda element (O(len^2) per document per consumer)
+    val words = df.select(F.col(idCol).as("__id"),
+      F.split(F.col(textCol), " ").as("__ws"))
+    // distinct word n-grams per document; single-space tokenization keeps
+    // the contract reproducible in plain SQL for oracle checking
+    val shingles = F.array_distinct(
+      F.when(F.size(F.col("__ws")) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(F.col("__ws")) - (n - 1)), i =>
+          F.concat_ws(" ",
+            (0 until n).map(o => F.element_at(F.col("__ws"), i + F.lit(o))): _*)))
+        .otherwise(F.array().cast("array<string>")))
+    val toks = words.select(F.col("__id"), F.explode(shingles).as("__tok"))
+
+    val freq = toks.groupBy("__tok").agg(F.count(F.lit(1)).as("__df"))
+    // ONE compact rarity-ordered shingle array per doc — (df asc, shingle
+    // asc) is the global total order the prefix lemma needs, and the array
+    // is bounded by the document's own size so collect_list carries no
+    // skew beyond the document itself. Persisted because every downstream
+    // consumer (both prefix sides of the self-join, both verify sides)
+    // would otherwise re-explode and re-aggregate the whole corpus: Spark
+    // does not share common subplans across self-join branches.
+    val byDoc = toks.join(freq, "__tok")
+      .groupBy("__id")
+      .agg(
+        F.sort_array(F.collect_list(F.struct(F.col("__df"), F.col("__tok")))).as("__ts"),
+        F.count(F.lit(1)).as("__sz"))
+      .select(F.col("__id"),
+        F.transform(F.col("__ts"), t => t.getField("__tok")).as("__toks"),
+        F.col("__sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // prefix length |X| - ceil(t·|X|) + 1; the 1e-9 slack can only shrink
+    // the ceil, i.e. LENGTHEN the prefix — always safe
+    val plen = (F.col("__sz") -
+      F.ceil(F.lit(threshold) * F.col("__sz") - F.lit(1e-9)) + 1).cast("int")
+    val prefix = byDoc.select(F.col("__id"), F.col("__sz"),
+      F.explode(F.slice(F.col("__toks"), F.lit(1), plen)).as("__tok"))
+
+    val cand = prefix
+      .select(F.col("__tok"), F.col("__id").as("id_a"), F.col("__sz").as("__sza"))
+      .join(prefix.select(
+        F.col("__tok"), F.col("__id").as("id_b"), F.col("__sz").as("__szb")), Seq("__tok"))
+      .filter(F.col("id_a") < F.col("id_b"))
+      // size pruning: Jaccard >= t forces min >= t·max (slack again only
+      // ever ADMITS borderline candidates — the exact verify rejects them)
+      .filter(F.least(F.col("__sza"), F.col("__szb")).cast("double") >=
+        F.lit(threshold) * F.greatest(F.col("__sza"), F.col("__szb")).cast("double") - F.lit(1e-9))
+      .select("id_a", "id_b", "__sza", "__szb")
+      .dropDuplicates("id_a", "id_b")
+
+    // exact verify for candidates only: both shingle arrays are already
+    // distinct, so |A ∩ B| = size(array_intersect) — no further explosion
+    cand
+      .join(byDoc.select(F.col("__id").as("id_a"), F.col("__toks").as("__ta")), Seq("id_a"))
+      .join(byDoc.select(F.col("__id").as("id_b"), F.col("__toks").as("__tb")), Seq("id_b"))
+      .withColumn("__i", F.size(F.array_intersect(F.col("__ta"), F.col("__tb"))).cast("long"))
+      .withColumn("jaccard", F.col("__i").cast("double") /
+        (F.col("__sza") + F.col("__szb") - F.col("__i")).cast("double"))
+      .filter(F.col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** SimHash near-duplicate pairs: 64-bit signature, candidates matched
     * on any of 4 x 16-bit bands, verified by Hamming distance <=
     * `maxHamming` via the codegen'd bit_count built-in. */

@@ -297,6 +297,48 @@ class OpsSpec extends SparkTestBase {
     assert(gotDup === 2)
   }
 
+  test("ngramJaccardPairs equals brute-force all-pairs (prefix filter is lossless)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(F.col("doc_id"), F.col("text"))
+    // independent brute force: distinct trigrams, unrestricted self-join
+    val ws = F.split(F.col("text"), " ")
+    val tg = docs.select(F.col("doc_id"), F.explode(F.array_distinct(
+      F.when(F.size(ws) >= 3,
+        F.transform(F.sequence(F.lit(1), F.size(ws) - 2), i =>
+          F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1),
+            F.element_at(ws, i + 2))))
+        .otherwise(F.array().cast("array<string>")))).as("sh"))
+    val sz = tg.groupBy("doc_id").agg(F.count(F.lit(1)).as("s"))
+    val a = tg.select(F.col("doc_id").as("ia"), F.col("sh"))
+    val b = tg.select(F.col("doc_id").as("ib"), F.col("sh"))
+    val brute = a.join(b, Seq("sh")).filter(F.col("ia") < F.col("ib"))
+      .groupBy("ia", "ib").agg(F.count(F.lit(1)).as("i"))
+      .join(sz.select(F.col("doc_id").as("ia"), F.col("s").as("sa")), "ia")
+      .join(sz.select(F.col("doc_id").as("ib"), F.col("s").as("sb")), "ib")
+      .select(F.col("ia"), F.col("ib"), (F.col("i").cast("double") /
+        (F.col("sa") + F.col("sb") - F.col("i")).cast("double")).as("j"))
+    for (t <- Seq(0.25, 0.7)) {
+      val expected = brute.filter(F.col("j") >= t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val got = graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === expected, s"threshold $t")
+      assert(got.nonEmpty, s"threshold $t produced no pairs — fixture too clean")
+    }
+  }
+
+  test("ngramJaccardPairs finds a planted mutated copy with the exact jaccard") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val mutated = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val docs = Seq((1L, base), (2L, mutated), (3L, "totally different words here now"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 8 trigrams each, 7 shared -> jaccard 7/9
+    assert(got.toSeq === Seq((1L, 2L, 7.0 / 9.0)))
+  }
+
   test("TextKvSource replicates Java String.split record semantics exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tkv_test").toString
     val cases = Seq(
