@@ -405,6 +405,25 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "l_partkey")
     }),
 
+    // dumphf -> mkhf round trip (cmd/dumphf.java:31-56 emit, cmd/
+    // mkhf.java:63-87 re-ingest): the full table scanned in insertion
+    // order, dumped through TextKvSink's key<TAB>value format as REAL
+    // text files, and parsed back by TextKvSource. Sink and source being
+    // exact inverses is the elements()/dump contract; exact oracle over
+    // the reconstructed records.
+    "kv_dump_roundtrip" -> ((s, dir) => {
+      val staged = java.nio.file.Files.createTempDirectory("graft_dump")
+      staged.toFile.deleteOnExit()
+      val li = read(s, dir, "lineitem")
+        .select(F.col("l_orderkey").cast("string").as("k"),
+          F.concat(F.col("l_linenumber").cast("string"), F.lit(":"),
+            F.col("l_partkey").cast("string")).as("v"))
+      graft.sources.TextKvSink.write(li, "k", "v", staged.toString)
+      graft.sources.TextKvSource.read(s, staged.toString)
+        .withColumnRenamed("key", "k").withColumnRenamed("value", "v")
+        .orderBy("k", "v")
+    }),
+
     // ---- training-data ops over the documents/embeddings tables ----
 
     // exact dedup with planted duplicates (doc_id+100000 copies): keeps
@@ -663,6 +682,12 @@ object SparkEntry {
         |JOIN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P') p
         |  ON li.l_orderkey = p.o_orderkey
         |ORDER BY li.l_orderkey, li.l_linenumber, li.l_partkey""".stripMargin,
+
+    // dump/re-ingest round trip reconstructs every lineitem record
+    "kv_dump_roundtrip" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) AS k,
+        |       CAST(l_linenumber AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR) AS v
+        |FROM lineitem ORDER BY k, v""".stripMargin,
 
     // mkhf text ingestion: both planted BAD lines are dropped; values
     // lowercase because normalization precedes splitting
