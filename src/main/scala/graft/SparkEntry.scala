@@ -542,6 +542,22 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF top-k in the EXHAUSTIVE-probe regime (nprobe = nlist): the
+    // trained coarse quantizer routes every query through all cells, so
+    // the result provably equals brute force — the exact-regime trick
+    // that makes an index path oracle-checkable (same oracle SQL as
+    // similarity_topk). The real approximate regime (nprobe << nlist)
+    // is pinned by the OpsSpec recall test on planted neighborhoods.
+    "ivf_topk" -> ((s, dir) => {
+      val embs = read(s, dir, "embeddings")
+      val queries = embs.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").as("query_id"), F.col("embedding").as("qvec"))
+      Similarity.ivfTopK(embs, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 10, nlist = 16, nprobe = 16)
+        .select(F.col("query_id"), F.col("vec_id"), F.col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // SRP-LSH approximate top-k — the scale path of similarity_topk:
     // multi-table signature buckets, bucket-local rerank. The testdata
     // embeddings are isotropic noise (pairwise cosine ~ 0), where no LSH
@@ -898,6 +914,16 @@ object SparkEntry {
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "similarity_topk" ->
+      """SELECT query_id, vec_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC, c.vec_id) AS rank
+        |  FROM embeddings c, embeddings q WHERE q.vec_id < 5
+        |) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // exhaustive-probe IVF equals brute force, so the brute-force oracle
+    // applies verbatim
+    "ivf_topk" ->
       """SELECT query_id, vec_id, rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
         |    row_number() OVER (PARTITION BY q.vec_id

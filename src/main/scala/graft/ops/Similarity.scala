@@ -4,7 +4,7 @@ import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 import org.apache.spark.sql.{Column, DataFrame, functions => F}
 
 import graft.core.hash.Murmur2Kernel
-import graft.spark.functions.top_k_by
+import graft.spark.functions.{murmur64, top_k_by}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (array<float>).
@@ -85,6 +85,94 @@ object Similarity {
   def srpSignature(vec: Column, bits: Int = 16, seed: Long = 42L): Column = {
     require(bits >= 1 && bits <= 63, s"bits must be in [1,63], got $bits")
     column(SrpSignatureExpr(expression(vec), bits, seed))
+  }
+
+  /** IVF (inverted-file) top-k — the second scale path next to SRP-LSH:
+    * a coarse quantizer of `nlist` centroids partitions the corpus into
+    * cells; each query probes its `nprobe` nearest cells and reranks
+    * only those cells' vectors with exact cosine.
+    *
+    * Training is deterministic and Spark-distributed: seed centroids are
+    * the `nlist` corpus vectors with the smallest murmur64(id) (a
+    * uniform reproducible sample taken with TakeOrdered, never a full
+    * sort), refined by `lloydIters` Lloyd iterations where assignment
+    * runs as the codegen'd [[IvfCellsExpr]] and cell means come from one
+    * posexplode aggregation; only nlist x dims means are ever collected.
+    *
+    * 100 TB shape: the corpus shuffles once on its cell id (or not at
+    * all when the probe side is broadcast, as here); per-query work is
+    * nprobe/nlist of the corpus instead of all of it. Recall is tunable
+    * with nprobe (= exact when nprobe = nlist). */
+  def ivfTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nlist: Int = 64, nprobe: Int = 8, lloydIters: Int = 1): DataFrame = {
+    val centroids = trainIvf(corpus, corpusId, corpusVec, nlist, lloydIters)
+    def cellsOf(vec: Column, np: Int): Column =
+      column(IvfCellsExpr(expression(vec), centroids, np))
+
+    val c = corpus.select(F.col(corpusId), F.col(corpusVec),
+      F.element_at(cellsOf(F.col(corpusVec), 1), 1).as("__cell"))
+    val q = F.broadcast(queries.select(F.col(queryId), F.col(queryVec))
+      .withColumn("__cell", F.explode(cellsOf(F.col(queryVec), nprobe))))
+    val candidates = c.join(q, Seq("__cell"))
+      .select(F.col(queryId), F.col(corpusId),
+        cosine(F.col(corpusVec), F.col(queryVec)).as("cosine"))
+    topKPerQuery(candidates, queryId, corpusId, k)
+  }
+
+  /** The IVF coarse quantizer as a column: indices of the `nprobe` best
+    * cells for each vector, best-first (see [[IvfCellsExpr]]). */
+  def ivfCells(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    column(IvfCellsExpr(expression(vec), centroids, nprobe))
+
+  /** Deterministic IVF training: murmur-sampled seeds + Lloyd
+    * refinement. Returns L2-normalized centroids so dot ranking equals
+    * cosine ranking in [[IvfCellsExpr]]. */
+  private[ops] def trainIvf(corpus: DataFrame, corpusId: String,
+      corpusVec: String, nlist: Int, lloydIters: Int): Array[Array[Double]] = {
+    require(nlist >= 1, "nlist must be >= 1")
+    val seedRows = corpus.select(F.col(corpusId), F.col(corpusVec))
+      .orderBy(murmur64(F.col(corpusId)), F.col(corpusId))
+      .limit(nlist).collect()
+    require(seedRows.nonEmpty, "cannot train IVF on an empty corpus")
+    var cents = seedRows.map(r => normalize(vecToDouble(r.getSeq[Any](1))))
+    var it = 0
+    while (it < lloydIters) {
+      val assigned = corpus.select(
+        F.element_at(column(
+          IvfCellsExpr(expression(F.col(corpusVec)), cents, 1)), 1).as("__cell"),
+        F.posexplode(F.col(corpusVec)).as(Seq("__dim", "__v")))
+      val means = assigned.groupBy("__cell", "__dim")
+        .agg(F.avg("__v").as("__m")).collect()
+      val dims = cents(0).length
+      val next = Array.tabulate(cents.length)(i => new Array[Double](dims))
+      val nonEmpty = new Array[Boolean](cents.length)
+      means.foreach { r =>
+        val cell = r.getInt(0)
+        nonEmpty(cell) = true
+        next(cell)(r.getInt(1)) = r.getDouble(2)
+      }
+      // a cell that attracted no vectors keeps its previous centroid
+      cents = Array.tabulate(cents.length)(i =>
+        if (nonEmpty(i)) normalize(next(i)) else cents(i))
+      it += 1
+    }
+    cents
+  }
+
+  private def vecToDouble(v: Seq[_]): Array[Double] = v.map {
+    case f: Float => f.toDouble
+    case d: Double => d
+    case null => 0.0
+  }.toArray
+
+  private def normalize(v: Array[Double]): Array[Double] = {
+    var ss = 0.0
+    var i = 0
+    while (i < v.length) { ss += v(i) * v(i); i += 1 }
+    val n = math.sqrt(ss)
+    if (n == 0) v else v.map(_ / n)
   }
 
   /** LSH top-k: candidates share the query's SRP bucket in at least one

@@ -71,3 +71,89 @@ case class SrpSignatureExpr(child: Expression, bits: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): SrpSignatureExpr =
     copy(child = c)
 }
+
+/** `IvfCellsExpr(vec, centroids, nprobe)` — the IVF coarse quantizer:
+  * the indices of the `nprobe` centroids with the largest dot product
+  * against the (row-normalized) centroid matrix, ordered best-first with
+  * index as the deterministic tie-break. With centroids L2-normalized at
+  * construction, dot-product ranking equals cosine ranking.
+  *
+  * The centroid matrix is a plan constant (IVF "training" happens before
+  * plan construction, see Similarity.ivfTopK) shipped once per task via
+  * the serialized expression — nlist x dims doubles, kilobytes at any
+  * sane nlist. Codegen'd through a reference object like
+  * [[SrpSignatureExpr]], so assignment stays inside whole-stage codegen.
+  */
+case class IvfCellsExpr(child: Expression, centroids: Array[Array[Double]],
+    nprobe: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (centroids.isEmpty)
+      return TypeCheckResult.TypeCheckFailure(s"$prettyName needs at least one centroid")
+    if (nprobe < 1 || nprobe > centroids.length)
+      return TypeCheckResult.TypeCheckFailure(
+        s"$prettyName nprobe must be in [1, ${centroids.length}], got $nprobe")
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> or array<double>, got ${other.catalogString}")
+    }
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ivf_cells"
+
+  @transient private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  def cells(arr: ArrayData): ArrayData = {
+    val dims = arr.numElements()
+    val n = centroids.length
+    val dots = new Array[Double](n)
+    var c = 0
+    while (c < n) {
+      val row = centroids(c)
+      val lim = math.min(dims, row.length)
+      var dot = 0.0
+      var d = 0
+      while (d < lim) {
+        if (!arr.isNullAt(d)) {
+          dot += row(d) * (if (isFloat) arr.getFloat(d) else arr.getDouble(d))
+        }
+        d += 1
+      }
+      dots(c) = dot
+      c += 1
+    }
+    // selection of the top nprobe by (dot desc, index asc): nprobe is
+    // small, so an O(n * nprobe) partial selection beats a full sort
+    val out = new Array[Int](nprobe)
+    val taken = new Array[Boolean](n)
+    var s = 0
+    while (s < nprobe) {
+      var best = -1
+      var bestDot = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        if (!taken(i) && dots(i) > bestDot) { best = i; bestDot = dots(i) }
+        i += 1
+      }
+      taken(best) = true
+      out(s) = best
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any): Any = cells(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfExpr", this, classOf[IvfCellsExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.cells($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): IvfCellsExpr =
+    copy(child = c)
+}

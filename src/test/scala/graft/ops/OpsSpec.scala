@@ -160,6 +160,65 @@ class OpsSpec extends SparkTestBase {
     assert(hits >= 27, s"LSH self-retrieval found $hits of 30")
   }
 
+  test("ivf_topk recall >= 0.9 vs brute force on planted neighborhoods") {
+    val qbase = embs.filter($"vec_id" < 5).select($"vec_id", $"embedding")
+    val planted = (1 to 3).map { j =>
+      qbase.select(($"vec_id" + F.lit(100000L * j)).as("vec_id"),
+        F.transform($"embedding", (x, i) =>
+          x * (F.lit(1.0f) + F.lit(0.01f * j) *
+            F.when(i % 2 === 0, F.lit(1.0f)).otherwise(F.lit(-1.0f))))
+          .as("embedding"))
+    }.reduce(_ unionAll _)
+    val corpus = embs.select($"vec_id", $"embedding").unionAll(planted)
+    val queries = qbase.select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 4))
+    val ivf = pairs(Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 4, nlist = 32, nprobe = 8))
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    assert(recall >= 0.9, s"IVF recall vs brute force = $recall")
+  }
+
+  test("ivfTopK with nprobe == nlist equals brute force exactly") {
+    // probing every cell makes the candidate set the whole corpus, so
+    // the result must match brute force row for row — ranks, ids, and
+    // double cosine values
+    val corpus = embs.filter($"vec_id" < 200).select($"vec_id", $"embedding")
+    val queries = embs.filter($"vec_id" >= 200 && $"vec_id" < 210)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "rank", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val bf = rows(Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 5))
+    val ivf = rows(Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 5, nlist = 16, nprobe = 16))
+    assert(ivf === bf)
+  }
+
+  test("ivf assignment is a native codegen'd expression and training is deterministic") {
+    val corpus = embs.filter($"vec_id" < 300).select($"vec_id", $"embedding")
+    val c1 = Similarity.trainIvf(corpus, "vec_id", "embedding", nlist = 8, lloydIters = 2)
+    val c2 = Similarity.trainIvf(corpus, "vec_id", "embedding", nlist = 8, lloydIters = 2)
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
+    // centroids are unit-normalized
+    c1.foreach { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9)
+    }
+    val df = corpus.select(
+      Similarity.ivfCells($"embedding", c1, 2).as("cells"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ivf_cells") && !plan.contains("UDF"), s"plan:\n$plan")
+    df.limit(10).collect().foreach { r =>
+      val cells = r.getSeq[Int](0)
+      assert(cells.length === 2 && cells.toSet.size === 2)
+    }
+  }
+
   test("text expressions fuse into whole-stage codegen (no fallback eval)") {
     val df = docs.select(
       TextAnalysis.lang_id($"text").as("lang_pred"),
@@ -369,6 +428,30 @@ class OpsSpec extends SparkTestBase {
     val re = graft.sources.TextKvSource.read(spark, dir2, delim = "[0-9]+")
       .as[(String, String)].collect().toSeq
     assert(re === Seq(("x", "y")))
+  }
+
+  test("TextKvSource differential vs Java split on 600 random adversarial lines") {
+    // the record-validity rule is subtle enough (trailing-empty removal,
+    // regex delim, lowercase-before-split) that fixtures aren't proof:
+    // drive random tab/space/empty-heavy lines through BOTH the Spark
+    // source and Java's own String.split and require identical record sets
+    val rnd = new java.util.Random(0x67AF7)
+    val alphabet = Array("a", "B", "\t", "\t", " ", "é", "0", "k")
+    val lines = Seq.fill(600) {
+      val len = rnd.nextInt(9)
+      (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_tkv_rand").toString
+    spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    val expected = lines.map(_.toLowerCase).flatMap { n =>
+      val v = n.split("\t")
+      if (v.length == 2) Some((v(0), v(1))) else None
+    }.sorted
+    val got = graft.sources.TextKvSource.read(spark, dir, lower = true)
+      .as[(String, String)].collect().toSeq.sorted
+    assert(got === expected)
+    assert(expected.nonEmpty, "generator produced no valid records — weak test")
   }
 
   test("TextKvSink dump is the inverse of TextKvSource ingestion") {
