@@ -280,6 +280,84 @@ object SparkEntry {
         .orderBy("w_start", "event_type")
     }),
 
+    // the SAME windowed rollup through the REAL Structured Streaming
+    // engine: file-source stream in THREE watermark-ordered micro-batches
+    // (early half / late half split on the time midpoint, so windows
+    // straddling the split accumulate state across batches), append-mode
+    // windowed aggregation gated by a 1-minute watermark, and a final
+    // punctuation batch 3 days past max(ts) that advances the watermark
+    // past every real window's end — append mode then emits them all
+    // while the punctuation's own window stays correctly withheld. The
+    // memory-sink table must therefore equal the batch rollup: the
+    // events_windowed oracle applies almost verbatim.
+    "streaming_windowed_counts" -> ((s, dir) => {
+      val ev = read(s, dir, "events")
+      val mm = ev.agg(F.min(F.col("ts")), F.max(F.col("ts"))).head()
+      // the parquet ts column may surface as TIMESTAMP or TIMESTAMP_NTZ
+      // depending on writer metadata — handle both, and mint literals of
+      // the SAME type so the staged batches match the stream schema
+      def ms(x: Any): Long = x match {
+        case t: java.sql.Timestamp => t.getTime
+        case d: java.time.LocalDateTime =>
+          d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      }
+      def tsLit(millis: Long): org.apache.spark.sql.Column = mm.get(0) match {
+        case _: java.time.LocalDateTime => F.lit(java.time.LocalDateTime
+          .ofInstant(java.time.Instant.ofEpochMilli(millis), java.time.ZoneOffset.UTC))
+        case _ => F.lit(new java.sql.Timestamp(millis))
+      }
+      val cutoff = tsLit((ms(mm.get(0)) + ms(mm.get(1))) / 2)
+      val staged = java.nio.file.Files.createTempDirectory("graft_swc_in")
+      staged.toFile.deleteOnExit()
+      def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_swc_tmp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = {
+          val l = java.nio.file.Files.list(tmp)
+          try l.filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally l.close()
+        }
+        val dst = staged.resolve(name)
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+        dst.toFile.deleteOnExit()
+      }
+      stage(ev.filter(F.col("ts") < cutoff), "batch-0.parquet", 1600000000000L)
+      stage(ev.filter(F.col("ts") >= cutoff), "batch-1.parquet", 1600000060000L)
+      stage(ev.limit(1).select(F.col("event_id"),
+        tsLit(ms(mm.get(1)) + 3L * 86400000L).as("ts"),
+        F.col("user_id"), F.lit("zz_punct").as("event_type"),
+        F.col("value"), F.col("props")), "batch-2.parquet", 1600000120000L)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged.toString)
+      val name = s"swc_out_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q =
+        try {
+          // watermarks require TIMESTAMP; the UTC session makes the
+          // NTZ->TIMESTAMP cast (and the cast back on output) lossless
+          stream.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "1 minute")
+            .groupBy(F.window(F.col("ts"), "1 day").as("w"), F.col("event_type"))
+            .agg(F.count(F.lit(1)).as("n_events"),
+              F.round(F.sum(F.col("value")), 2).as("sum_value"))
+            .select(F.col("w.start").cast("timestamp_ntz").as("w_start"),
+              F.col("event_type"), F.col("n_events"), F.col("sum_value"))
+            .writeStream
+            .outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      q.awaitTermination()
+      s.table(name).orderBy("w_start", "event_type")
+    }),
+
     // same rollup with HLL distinct users per window — rows-only (bound-
     // checked vs exact countDistinct in GraftFunctionsSpec patterns)
     "events_windowed_sketch" -> ((s, dir) => {
@@ -672,6 +750,14 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "events_windowed" ->
+      """SELECT time_bucket(INTERVAL 1 DAY, ts) AS w_start, event_type,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    // the watermark-emitted stream equals the batch rollup; the
+    // punctuation window is withheld by the engine and absent here
+    "streaming_windowed_counts" ->
       """SELECT time_bucket(INTERVAL 1 DAY, ts) AS w_start, event_type,
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events
