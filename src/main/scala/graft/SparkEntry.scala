@@ -280,6 +280,44 @@ object SparkEntry {
         .orderBy("w_start", "event_type")
     }),
 
+    // multi-dimensional CUBE rollup (SURVEY §2.5: grouping sets come
+    // straight from Spark built-ins) with grouping() disambiguating
+    // rollup markers from data nulls. Exact oracle via DuckDB CUBE.
+    "cube_event_counts" -> ((s, dir) => {
+      val ev = read(s, dir, "events")
+        .select(F.col("event_type"), F.to_date(F.col("ts")).as("d"), F.col("value"))
+      ev.cube(F.col("event_type"), F.col("d"))
+        .agg(F.count(F.lit(1)).as("n"),
+          F.round(F.sum(F.col("value")), 2).as("sum_value"),
+          F.grouping(F.col("event_type")).as("__ge"),
+          F.grouping(F.col("d")).as("__gd"))
+        .select(
+          F.when(F.col("__ge") === 1, F.lit("(all)"))
+            .otherwise(F.col("event_type")).as("event_type"),
+          F.when(F.col("__gd") === 1, F.lit("(all)"))
+            .otherwise(F.col("d").cast("string")).as("d"),
+          F.col("n"), F.col("sum_value"))
+        .orderBy("event_type", "d")
+    }),
+
+    // distributed LEFT AS-OF JOIN (an operator beyond the reference's
+    // point lookups): each purchase gets the user's latest click at or
+    // before it. One shuffle keyed by user, per-key forward-fill window
+    // — never a range join. Exact oracle via DuckDB's native ASOF JOIN.
+    "asof_join" -> ((s, dir) => {
+      val ev = read(s, dir, "events")
+      // build side made unique per (user, ts) so the match is a function
+      // of the data, not the engine's sort
+      val clicks = ev.filter(F.col("event_type") === "click")
+        .groupBy(F.col("user_id"), F.col("ts"))
+        .agg(F.max(F.col("event_id")).as("click_id"),
+          F.max(F.col("value")).as("click_value"))
+      val purchases = ev.filter(F.col("event_type") === "purchase")
+        .select(F.col("user_id"), F.col("ts"), F.col("event_id"))
+      graft.ops.AsOfJoin.leftAsOf(purchases, clicks, "user_id", "ts")
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
     // the SAME windowed rollup through the REAL Structured Streaming
     // engine: file-source stream in THREE watermark-ordered micro-batches
     // (early half / late half split on the time midpoint, so windows
@@ -754,6 +792,29 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "cube_event_counts" ->
+      """SELECT
+        |  CASE WHEN GROUPING(event_type) = 1 THEN '(all)' ELSE event_type END AS event_type,
+        |  CASE WHEN GROUPING(d) = 1 THEN '(all)' ELSE CAST(d AS VARCHAR) END AS d,
+        |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+        |FROM (SELECT event_type, CAST(ts AS DATE) AS d, value FROM events)
+        |GROUP BY CUBE(event_type, d)
+        |ORDER BY event_type, d""".stripMargin,
+
+    // DuckDB executes the genuine ASOF JOIN; the engine's window
+    // formulation must agree row for row
+    "asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id, max(value) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        |), purchases AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT p.user_id, p.ts, p.event_id, c.click_id, c.click_value
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.user_id, p.ts, p.event_id""".stripMargin,
 
     // the watermark-emitted stream equals the batch rollup; the
     // punctuation window is withheld by the engine and absent here

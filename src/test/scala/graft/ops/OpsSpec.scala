@@ -160,6 +160,24 @@ class OpsSpec extends SparkTestBase {
     assert(hits >= 27, s"LSH self-retrieval found $hits of 30")
   }
 
+  test("leftAsOf: hand-computed semantics incl. equal-ts tie and no-prior-match") {
+    import spark.implicits._
+    val probe = Seq((1L, 5L, "p1"), (1L, 15L, "p2"), (1L, 20L, "p3"),
+      (2L, 6L, "p4"), (3L, 1L, "p5")).toDF("k", "ts", "pname")
+    val build = Seq((1L, 10L, "x"), (1L, 20L, "y"), (2L, 5L, "z"))
+      .toDF("k", "ts", "bval")
+    val got = graft.ops.AsOfJoin.leftAsOf(probe, build, "k", "ts")
+      .select("k", "ts", "pname", "bval").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3)).getOrElse("-"))).toSet
+    assert(got === Set(
+      (1L, 5L, "p1", "-"), // before any build row
+      (1L, 15L, "p2", "x"), // strictly-before match
+      (1L, 20L, "p3", "y"), // equal-ts build row matches (>= semantics)
+      (2L, 6L, "p4", "z"),
+      (3L, 1L, "p5", "-"))) // key with no build rows at all
+  }
+
   test("ivf_topk recall >= 0.9 vs brute force on planted neighborhoods") {
     val qbase = embs.filter($"vec_id" < 5).select($"vec_id", $"embedding")
     val planted = (1 to 3).map { j =>
