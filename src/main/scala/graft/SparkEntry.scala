@@ -280,6 +280,19 @@ object SparkEntry {
         .orderBy("w_start", "event_type")
     }),
 
+    // semi-structured JSON extraction (SURVEY §2.5 catalog breadth): the
+    // props column is a JSON object; extract and aggregate a field.
+    // Exact oracle via DuckDB's JSON functions.
+    "json_props_rollup" -> ((s, dir) => {
+      read(s, dir, "events")
+        .select(F.col("event_type"),
+          F.get_json_object(F.col("props"), "$.k").cast("long").as("k"))
+        .groupBy(F.col("event_type"))
+        .agg(F.count(F.lit(1)).as("n"), F.sum(F.col("k")).as("sum_k"),
+          F.min(F.col("k")).as("min_k"), F.max(F.col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+
     // multi-dimensional CUBE rollup (SURVEY §2.5: grouping sets come
     // straight from Spark built-ins) with grouping() disambiguating
     // rollup markers from data nulls. Exact oracle via DuckDB CUBE.
@@ -792,6 +805,13 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "json_props_rollup" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "cube_event_counts" ->
       """SELECT
