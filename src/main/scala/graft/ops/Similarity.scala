@@ -129,7 +129,7 @@ object Similarity {
   /** Deterministic IVF training: murmur-sampled seeds + Lloyd
     * refinement. Returns L2-normalized centroids so dot ranking equals
     * cosine ranking in [[IvfCellsExpr]]. */
-  private[ops] def trainIvf(corpus: DataFrame, corpusId: String,
+  def trainIvf(corpus: DataFrame, corpusId: String,
       corpusVec: String, nlist: Int, lloydIters: Int): Array[Array[Double]] = {
     require(nlist >= 1, "nlist must be >= 1")
     val seedRows = corpus.select(F.col(corpusId), F.col(corpusVec))

@@ -179,6 +179,59 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(got2.toSeq === Seq(1, 2))
   }
 
+  test("ngramJaccardPairs edges: empty corpus, single doc, all-short docs") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.ops.Dedup.ngramJaccardPairs(empty, "doc_id", "text").count() === 0)
+    val one = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    assert(graft.ops.Dedup.ngramJaccardPairs(one, "doc_id", "text").count() === 0)
+    // every doc shorter than the shingle width: zero shingles, zero pairs
+    val short = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    assert(graft.ops.Dedup.ngramJaccardPairs(short, "doc_id", "text", n = 3).count() === 0)
+    // identical docs reach jaccard exactly 1.0
+    val twins = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.ngramJaccardPairs(twins, "doc_id", "text", 3, 1.0).collect()
+    assert(got.length === 1 && got(0).getDouble(2) === 1.0)
+  }
+
+  test("leftAsOf edges: empty build side, empty probe side, payload clash rejected") {
+    val probe = Seq((1L, 5L, "p")).toDF("k", "ts", "pv")
+    val build = Seq((1L, 3L, "b")).toDF("k", "ts", "bv")
+    val emptyBuild = build.filter(F.lit(false))
+    val r1 = graft.ops.AsOfJoin.leftAsOf(probe, emptyBuild, "k", "ts").collect()
+    assert(r1.length === 1 && r1(0).isNullAt(r1(0).fieldIndex("bv")))
+    assert(graft.ops.AsOfJoin.leftAsOf(
+      probe.filter(F.lit(false)), build, "k", "ts").count() === 0)
+    val clash = Seq((1L, 3L, "x")).toDF("k", "ts", "pv")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.AsOfJoin.leftAsOf(probe, clash, "k", "ts")
+    }
+    assert(e.getMessage.contains("must not overlap"))
+  }
+
+  test("ivf edges: nlist larger than corpus, empty corpus rejected loudly") {
+    val tiny = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // more requested cells than vectors: training succeeds with what exists
+    val cents = graft.ops.Similarity.trainIvf(tiny, "vec_id", "embedding", 8, 1)
+    assert(cents.length === 2)
+    val empty = tiny.filter(F.lit(false))
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Similarity.trainIvf(empty, "vec_id", "embedding", 4, 1)
+    }
+    assert(e.getMessage.contains("empty corpus"))
+  }
+
+  test("TextKvSource edges: empty directory of files, delim-only lines") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tkv_edge").toString
+    Seq.empty[String].toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    assert(graft.sources.TextKvSource.read(spark, dir).count() === 0)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_tkv_edge2").toString
+    // a line that is ONLY the delimiter: all fields empty -> Java split
+    // yields an empty array -> BAD line, dropped
+    Seq("\t", "\t\t").toDF("value").coalesce(1).write.mode("overwrite").text(dir2)
+    assert(graft.sources.TextKvSource.read(spark, dir2).count() === 0)
+  }
+
   test("generatePngAssets edges: zero rows, invalid distinctPixels rejected") {
     assert(graft.ops.Multimodal.generatePngAssets(spark, 0, 4).count() === 0)
     intercept[IllegalArgumentException](
