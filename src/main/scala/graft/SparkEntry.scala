@@ -280,6 +280,23 @@ object SparkEntry {
         .orderBy("w_start", "event_type")
     }),
 
+    // per-user sessionization via session_window (dynamic-gap windows):
+    // a session extends while consecutive events are <= 2h apart
+    // (inclusive boundary — pinned empirically in OpsSpec) and its end
+    // is last-event + gap. Exact oracle via a gaps-and-islands rewrite.
+    "sessionization" -> ((s, dir) => {
+      read(s, dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.session_window(F.col("ts"), "2 hours").as("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).as("n_events"),
+          F.round(F.sum(F.col("value")), 2).as("sum_value"))
+        .select(F.col("user_id"),
+          F.col("w.start").cast("timestamp_ntz").as("s_start"),
+          F.col("w.end").cast("timestamp_ntz").as("s_end"),
+          F.col("n_events"), F.col("sum_value"))
+        .orderBy("user_id", "s_start")
+    }),
+
     // semi-structured JSON extraction (SURVEY §2.5 catalog breadth): the
     // props column is a JSON object; extract and aggregate a field.
     // Exact oracle via DuckDB's JSON functions.
@@ -805,6 +822,25 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    // gaps-and-islands: break strictly-greater-than the gap, session end
+    // = last event + gap — the measured session_window semantics
+    "sessionization" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), g AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e
+        |)
+        |SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL 2 HOUR AS s_end,
+        |  CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, s_start""".stripMargin,
 
     "json_props_rollup" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

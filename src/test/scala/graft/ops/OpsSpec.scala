@@ -160,6 +160,27 @@ class OpsSpec extends SparkTestBase {
     assert(hits >= 27, s"LSH self-retrieval found $hits of 30")
   }
 
+  test("session_window boundary: an event exactly gap after the last still MERGES") {
+    import spark.implicits._
+    // pins the semantics the sessionization oracle encodes: Spark merges
+    // while next.ts <= last.ts + gap (inclusive boundary — measured, not
+    // assumed), so a session breaks only when the quiet gap is STRICTLY
+    // greater than the configured gap
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00")), // exactly gap later
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00.001")), // just past gap
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:29:59.999"))) // inside gap
+      .toDF("user_id", "ts")
+    val sessions = df.groupBy(
+        F.session_window(F.col("ts"), "30 minutes").as("w"), F.col("user_id"))
+      .agg(F.count(F.lit(1)).as("n"))
+      .select(F.col("user_id"), F.col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(sessions === Seq((1L, 1L), (1L, 2L), (2L, 2L)))
+  }
+
   test("leftAsOf: hand-computed semantics incl. equal-ts tie and no-prior-match") {
     import spark.implicits._
     val probe = Seq((1L, 5L, "p1"), (1L, 15L, "p2"), (1L, 20L, "p3"),
