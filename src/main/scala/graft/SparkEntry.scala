@@ -280,6 +280,25 @@ object SparkEntry {
         .orderBy("w_start", "event_type")
     }),
 
+    // analytic window functions over a keyed partition (SURVEY §2.5):
+    // per-customer order ranking, previous-order delta, and running
+    // total — the window shapes the kv/get semantics build on, as one
+    // oracle-checked surface. Partitioned by customer (many keys), so
+    // the shape parallelizes; never a global window.
+    "window_analytics" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(F.col("o_custkey"))
+        .orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      read(s, dir, "orders")
+        .filter(F.col("o_custkey") % 100 === 0)
+        .select(F.col("o_custkey"), F.col("o_orderkey"), F.col("o_orderdate"),
+          F.rank().over(w).as("rnk"),
+          F.lag(F.col("o_orderkey"), 1).over(w).as("prev_order"),
+          F.round(F.sum(F.col("o_totalprice")).over(run), 2).as("running_total"))
+        .orderBy("o_custkey", "rnk", "o_orderkey")
+    }),
+
     // per-user sessionization via session_window (dynamic-gap windows):
     // a session extends while consecutive events are <= 2h apart
     // (inclusive boundary — pinned empirically in OpsSpec) and its end
@@ -822,6 +841,16 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "window_analytics" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  rank() OVER w AS rnk,
+        |  lag(o_orderkey, 1) OVER w AS prev_order,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS running_total
+        |FROM orders WHERE o_custkey % 100 = 0
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
 
     // gaps-and-islands: break strictly-greater-than the gap, session end
     // = last event + gap — the measured session_window semantics
