@@ -21,6 +21,21 @@ object SparkEntry {
   private def read(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
+  /** Temp staging dir removed RECURSIVELY on JVM exit — File.deleteOnExit
+    * silently leaves non-empty directories (Spark writes part files into
+    * them after registration), so queries that stage real files use this. */
+  private def stagingDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del))
+        val _ = f.delete()
+      }
+      del(p.toFile)
+    }))
+    p
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Sketch-aggregate rollup over lineitem: per (returnflag, linestatus)
     * group, exact counts + HLL distinct orders + KLL quantile of qty. */
@@ -394,10 +409,9 @@ object SparkEntry {
         case _ => F.lit(new java.sql.Timestamp(millis))
       }
       val cutoff = tsLit((ms(mm.get(0)) + ms(mm.get(1))) / 2)
-      val staged = java.nio.file.Files.createTempDirectory("graft_swc_in")
-      staged.toFile.deleteOnExit()
+      val staged = stagingDir("graft_swc_in")
       def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_swc_tmp")
+        val tmp = stagingDir("graft_swc_tmp")
         df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val part = {
           val l = java.nio.file.Files.list(tmp)
@@ -409,7 +423,6 @@ object SparkEntry {
         java.nio.file.Files.move(part, dst)
         java.nio.file.Files.setLastModifiedTime(dst,
           java.nio.file.attribute.FileTime.fromMillis(mtime))
-        dst.toFile.deleteOnExit()
       }
       stage(ev.filter(F.col("ts") < cutoff), "batch-0.parquet", 1600000000000L)
       stage(ev.filter(F.col("ts") >= cutoff), "batch-1.parquet", 1600000060000L)
@@ -540,7 +553,7 @@ object SparkEntry {
     // as real text files in-query, read back through TextKvSource with
     // lower=true, with planted BAD lines that must vanish. Exact oracle.
     "text_kv_source" -> ((s, dir) => {
-      val staged = java.nio.file.Files.createTempDirectory("graft_tkv").toString
+      val staged = stagingDir("graft_tkv").toString
       val orders = read(s, dir, "orders")
       val lines = orders
         .select(F.concat_ws("\t",
@@ -577,8 +590,7 @@ object SparkEntry {
     // exact inverses is the elements()/dump contract; exact oracle over
     // the reconstructed records.
     "kv_dump_roundtrip" -> ((s, dir) => {
-      val staged = java.nio.file.Files.createTempDirectory("graft_dump")
-      staged.toFile.deleteOnExit()
+      val staged = stagingDir("graft_dump")
       val li = read(s, dir, "lineitem")
         .select(F.col("l_orderkey").cast("string").as("k"),
           F.concat(F.col("l_linenumber").cast("string"), F.lit(":"),
@@ -613,11 +625,11 @@ object SparkEntry {
       // the file streaming source lists a DIRECTORY; stage the files into
       // one, ordered by explicit modification times (the source's file
       // ordering key)
-      val staged = java.nio.file.Files.createTempDirectory("graft_sd_in")
+      val staged = stagingDir("graft_sd_in")
       val batch0 = staged.resolve("batch-0.parquet")
       java.nio.file.Files.copy(java.nio.file.Paths.get(path), batch0)
       // batch 2: same texts under shifted ids (every row a cross-batch dup)
-      val dupDir = java.nio.file.Files.createTempDirectory("graft_sd_dup")
+      val dupDir = stagingDir("graft_sd_dup")
       s.read.parquet(path)
         .withColumn("doc_id", F.col("doc_id") + 1000000L)
         .coalesce(1).write.mode("overwrite").parquet(dupDir.toString)
@@ -633,8 +645,6 @@ object SparkEntry {
         java.nio.file.attribute.FileTime.fromMillis(1600000000000L))
       java.nio.file.Files.setLastModifiedTime(batch1,
         java.nio.file.attribute.FileTime.fromMillis(1600000060000L))
-      Seq(batch0, batch1).foreach(_.toFile.deleteOnExit())
-      staged.toFile.deleteOnExit()
       val schema = s.read.parquet(path).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
