@@ -160,6 +160,37 @@ class OpsSpec extends SparkTestBase {
     assert(hits >= 27, s"LSH self-retrieval found $hits of 30")
   }
 
+  test("ngramJaccardPairs plan reuses the persisted shingle table (no re-explosion)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(F.col("doc_id"), F.col("text"))
+    val df = graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.7)
+    val plan = df.queryExecution.executedPlan.toString
+    // the four consumers (2 prefix sides, 2 verify sides) must read the
+    // cached table, and only ONE raw shingle-explosion pipeline may exist
+    // (the one that fills the cache, shown inside the InMemoryRelation)
+    assert(plan.contains("InMemoryTableScan"), s"cache not used:\n$plan")
+    val scans = "InMemoryTableScan".r.findAllIn(plan).size
+    assert(scans >= 4, s"expected >=4 cached scans, got $scans")
+    spark.catalog.clearCache()
+  }
+
+  test("leftAsOf plan: one key-shuffle, window runs per key, no join operator") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val probe = ev.filter(F.col("event_type") === "purchase")
+      .select(F.col("user_id"), F.col("ts"), F.col("event_id"))
+    val build = ev.filter(F.col("event_type") === "click")
+      .groupBy(F.col("user_id"), F.col("ts"))
+      .agg(F.max(F.col("event_id")).as("click_id"))
+    val plan = graft.ops.AsOfJoin.leftAsOf(probe, build, "user_id", "ts")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"no window operator:\n$plan")
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    // exchanges: one for the build-side groupBy, one keyed shuffle for the
+    // window — never a per-pair or range-join explosion
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"unexpected exchanges ($exchanges):\n$plan")
+  }
+
   test("session_window boundary: an event exactly gap after the last still MERGES") {
     import spark.implicits._
     // pins the semantics the sessionization oracle encodes: Spark merges
