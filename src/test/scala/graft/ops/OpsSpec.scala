@@ -160,6 +160,36 @@ class OpsSpec extends SparkTestBase {
     assert(hits >= 27, s"LSH self-retrieval found $hits of 30")
   }
 
+  test("bucketed tables co-locate the join: sort-merge with zero exchanges") {
+    // the 100 TB co-location story: both sides bucketed on the join key
+    // with the same bucket count join WITHOUT any shuffle
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(F.col("l_orderkey"), F.col("l_partkey"), F.col("l_quantity"))
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .select(F.col("o_orderkey"), F.col("o_totalprice"))
+    val d1 = java.nio.file.Files.createTempDirectory("graft_bkt1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft_bkt2").toString
+    li.write.option("path", d1).bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").mode("overwrite").saveAsTable("li_bkt")
+    ord.write.option("path", d2).bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").mode("overwrite").saveAsTable("ord_bkt")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("li_bkt")
+        .join(spark.table("ord_bkt"), F.col("l_orderkey") === F.col("o_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"not a sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(j.count() ===
+        li.join(ord, F.col("l_orderkey") === F.col("o_orderkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sql("DROP TABLE IF EXISTS li_bkt")
+      spark.sql("DROP TABLE IF EXISTS ord_bkt")
+    }
+  }
+
   test("ngramJaccardPairs plan reuses the persisted shingle table (no re-explosion)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(F.col("doc_id"), F.col("text"))
