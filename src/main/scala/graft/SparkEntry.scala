@@ -295,6 +295,22 @@ object SparkEntry {
         .orderBy("w_start", "event_type")
     }),
 
+    // deterministic stratified sampling (training-data curation): per
+    // language, the 20 docs with the smallest multiplicative hash of
+    // doc_id — an odd multiplier mod 2^32 is a bijection, so the order
+    // is total and the "random" sample is reproducible on any cluster
+    // layout. Runs as the mergeable top_k_by aggregate (k rows per
+    // stratum per task cross the exchange — never a per-stratum window
+    // sort). The hash is plain integer arithmetic, so the oracle is
+    // exact.
+    "stratified_sample" -> ((s, dir) => {
+      val hv = (F.col("doc_id") * F.lit(2654435761L)) % F.lit(4294967296L)
+      graft.ops.Sampling.stratifiedSample(
+          read(s, dir, "documents"), "lang", "doc_id", hv, 20)
+        .withColumn("sample_order", F.col("sample_order").cast("long"))
+        .orderBy("lang", "sample_order")
+    }),
+
     // analytic window functions over a keyed partition (SURVEY §2.5):
     // per-customer order ranking, previous-order delta, and running
     // total — the window shapes the kv/get semantics build on, as one
@@ -851,6 +867,17 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "stratified_sample" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id, (doc_id * 2654435761) % 4294967296 AS hv FROM documents
+        |), r AS (
+        |  SELECT lang, doc_id, hv,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+        |  FROM h
+        |)
+        |SELECT lang, doc_id, CAST(hv AS BIGINT) AS sample_order
+        |FROM r WHERE rn <= 20 ORDER BY lang, sample_order""".stripMargin,
 
     "window_analytics" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,

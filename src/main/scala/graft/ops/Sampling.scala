@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+import graft.spark.functions.top_k_by
+
+/** Deterministic sampling primitives for training-data curation. */
+object Sampling {
+
+  /** Stratified deterministic sample: the k rows per stratum with the
+    * SMALLEST values of `orderCol`. With a collision-free order column
+    * (e.g. an odd-multiplier multiplicative hash of a unique id, which
+    * is a bijection mod 2^32) this is a reproducible uniform sample with
+    * a total order — rerunnable byte-for-byte on any cluster layout.
+    *
+    * Runs as the mergeable `top_k_by` aggregation: map-side k-heaps per
+    * stratum, the exchange moves k rows per (stratum, task). A
+    * `row_number() OVER (PARTITION BY stratum ORDER BY h)` window would
+    * instead serialize every stratum through one reducer partition —
+    * with few strata (languages, sources) that is a handful of reducers
+    * sorting the whole corpus.
+    *
+    * Output: (strataCol, idCol, sample_order) with sample_order the
+    * orderCol value, ascending per stratum. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      orderCol: Column, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    df.select(F.col(strataCol), F.col(idCol), orderCol.cast("double").as("__h"))
+      .groupBy(F.col(strataCol))
+      .agg(top_k_by(F.col(idCol), -F.col("__h"), k).as("__topk"))
+      .select(F.col(strataCol), F.explode(F.col("__topk")).as("__e"))
+      .select(F.col(strataCol), F.col("__e.value").as(idCol),
+        (-F.col("__e.score")).as("sample_order"))
+  }
+}

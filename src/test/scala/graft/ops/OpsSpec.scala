@@ -160,6 +160,27 @@ class OpsSpec extends SparkTestBase {
     assert(hits >= 27, s"LSH self-retrieval found $hits of 30")
   }
 
+  test("stratifiedSample: equals window rewrite, deterministic, no Window in plan") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val hv = (F.col("doc_id") * F.lit(2654435761L)) % F.lit(4294967296L)
+    val got = graft.ops.Sampling.stratifiedSample(docs, "lang", "doc_id", hv, 7)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"sampling must not use a window:\n$plan")
+    val rows = got.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // reference rewrite with a window (fine at test scale)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.col("lang")).orderBy(F.col("__h"))
+    val expect = docs.select(F.col("lang"), F.col("doc_id"), hv.cast("double").as("__h"))
+      .withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 7)
+      .select(F.col("lang"), F.col("doc_id"), F.col("__h"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows === expect)
+    val again = graft.ops.Sampling.stratifiedSample(docs, "lang", "doc_id", hv, 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(again === rows)
+  }
+
   test("bucketed tables co-locate the join: sort-merge with zero exchanges") {
     // the 100 TB co-location story: both sides bucketed on the join key
     // with the same bucket count join WITHOUT any shuffle
