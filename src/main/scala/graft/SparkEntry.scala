@@ -311,6 +311,20 @@ object SparkEntry {
         .orderBy("lang", "sample_order")
     }),
 
+    // deterministic train/valid/test holdout split (3/4, 1/8, 1/8 —
+    // power-of-two fractions divide the 2^32 hash space exactly):
+    // membership is a pure function of the id hash, stable under any
+    // partitioning. Exact oracle over per-(lang, split) counts.
+    "holdout_split" -> ((s, dir) => {
+      val hv = (F.col("doc_id") * F.lit(2654435761L)) % F.lit(4294967296L)
+      val docs = read(s, dir, "documents").withColumn("__hv", hv)
+      graft.ops.Sampling.hashSplit(docs, F.col("__hv"),
+          Seq("train" -> 0.75, "valid" -> 0.125, "test" -> 0.125))
+        .groupBy(F.col("lang"), F.col("split"))
+        .agg(F.count(F.lit(1)).as("n"), F.min(F.col("doc_id")).as("min_id"))
+        .orderBy("lang", "split")
+    }),
+
     // analytic window functions over a keyed partition (SURVEY §2.5):
     // per-customer order ranking, previous-order delta, and running
     // total — the window shapes the kv/get semantics build on, as one
@@ -867,6 +881,19 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    // thresholds 0.75*2^32 and 0.875*2^32 are exact integers
+    "holdout_split" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id, (doc_id * 2654435761) % 4294967296 AS hv FROM documents
+        |), s AS (
+        |  SELECT lang, doc_id,
+        |    CASE WHEN hv < 3221225472 THEN 'train'
+        |         WHEN hv < 3758096384 THEN 'valid' ELSE 'test' END AS split
+        |  FROM h
+        |)
+        |SELECT lang, split, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS min_id
+        |FROM s GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
 
     "stratified_sample" ->
       """WITH h AS (

@@ -32,4 +32,25 @@ object Sampling {
       .select(F.col(strataCol), F.col("__e.value").as(idCol),
         (-F.col("__e.score")).as("sample_order"))
   }
+
+  /** Deterministic holdout split: assigns each row the first label whose
+    * cumulative fraction of the 2^32 hash space covers `hashCol` — the
+    * standard reproducible train/valid/test assignment, stable under
+    * any repartitioning and any insertion order, and trivially
+    * rerunnable (membership is a pure function of the id hash).
+    * Fractions must sum to 1; thresholds are floor(cum * 2^32), so
+    * power-of-two fractions split exactly. Pure projection: no shuffle,
+    * no state. */
+  def hashSplit(df: DataFrame, hashCol: Column,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "fractions must sum to 1")
+    val bounds = fractions.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.floor(c * 4294967296.0).toLong)
+    val split = fractions.zip(bounds).init.foldRight(
+      F.lit(fractions.last._1): Column) { case (((label, _), bound), rest) =>
+      F.when(hashCol < bound, F.lit(label)).otherwise(rest)
+    }
+    df.withColumn("split", split)
+  }
 }

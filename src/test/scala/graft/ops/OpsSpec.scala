@@ -181,6 +181,24 @@ class OpsSpec extends SparkTestBase {
     assert(again === rows)
   }
 
+  test("hashSplit: exact threshold boundaries, full coverage, determinism") {
+    import spark.implicits._
+    // hv exactly AT a threshold belongs to the NEXT bucket (strict <)
+    val df = Seq(0L, 3221225471L, 3221225472L, 3758096383L, 3758096384L, 4294967295L)
+      .toDF("hv")
+    val got = graft.ops.Sampling.hashSplit(df, F.col("hv"),
+        Seq("train" -> 0.75, "valid" -> 0.125, "test" -> 0.125))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set(
+      (0L, "train"), (3221225471L, "train"),
+      (3221225472L, "valid"), (3758096383L, "valid"),
+      (3758096384L, "test"), (4294967295L, "test")))
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Sampling.hashSplit(df, F.col("hv"), Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    assert(e.getMessage.contains("sum to 1"))
+  }
+
   test("bucketed tables co-locate the join: sort-merge with zero exchanges") {
     // the 100 TB co-location story: both sides bucketed on the join key
     // with the same bucket count join WITHOUT any shuffle
