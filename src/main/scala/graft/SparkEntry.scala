@@ -311,6 +311,21 @@ object SparkEntry {
         .orderBy("lang", "sample_order")
     }),
 
+    // weighted sample without replacement (Efraimidis-Spirakis A-ES):
+    // per language, 10 docs weighted by length — the mergeable-key trick
+    // (u^(1/w), keep the k largest) that makes weighted sampling a
+    // partial aggregation. u is hash-derived, so both engines rank the
+    // same deterministic keys; the key gaps (~1/n^2) are astronomically
+    // larger than any libm pow divergence (~1 ulp), so the oracle is
+    // exact.
+    "weighted_sample" -> ((s, dir) => {
+      val hv = (F.col("doc_id") * F.lit(2654435761L)) % F.lit(4294967296L)
+      graft.ops.Sampling.weightedSample(
+          read(s, dir, "documents").withColumn("__hv", hv),
+          "lang", "doc_id", F.col("n_chars"), F.col("__hv"), 10)
+        .orderBy("lang", "rank")
+    }),
+
     // deterministic train/valid/test holdout split (3/4, 1/8, 1/8 —
     // power-of-two fractions divide the 2^32 hash space exactly):
     // membership is a pure function of the id hash, stable under any
@@ -881,6 +896,21 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "weighted_sample" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    (doc_id * 2654435761) % 4294967296 AS hv FROM documents
+        |), keyed AS (
+        |  SELECT lang, doc_id,
+        |    pow((hv + 0.5) / 4294967296.0, 1.0 / n_chars) AS k FROM h
+        |), r AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id) AS rank
+        |  FROM keyed
+        |)
+        |SELECT lang, doc_id, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
 
     // thresholds 0.75*2^32 and 0.875*2^32 are exact integers
     "holdout_split" ->

@@ -33,6 +33,31 @@ object Sampling {
         (-F.col("__e.score")).as("sample_order"))
   }
 
+  /** Weighted sample WITHOUT replacement per stratum (Efraimidis &
+    * Spirakis 2006, algorithm A-ES): each row gets the key u^(1/w) with
+    * u uniform in (0,1) and w its weight; the k largest keys per
+    * stratum are a weighted sample without replacement. With u derived
+    * from a collision-free id hash ((h + 0.5) / 2^32) the sample is
+    * fully deterministic and reproducible.
+    *
+    * Distribution shape is the same mergeable `top_k_by` k-heap as
+    * [[stratifiedSample]]: map-side partial heaps, k rows per stratum
+    * per task across the exchange — the A-ES key trick is exactly what
+    * makes weighted sampling MERGEABLE, and is why it is the standard
+    * distributed weighted sampler. */
+  def weightedSample(df: DataFrame, strataCol: String, idCol: String,
+      weightCol: Column, hashCol: Column, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val u = (hashCol.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    val key = F.pow(u, F.lit(1.0) / weightCol.cast("double"))
+    df.select(F.col(strataCol), F.col(idCol), key.as("__key"))
+      .groupBy(F.col(strataCol))
+      .agg(top_k_by(F.col(idCol), F.col("__key"), k).as("__topk"))
+      .select(F.col(strataCol), F.posexplode(F.col("__topk")).as(Seq("__pos", "__e")))
+      .select(F.col(strataCol), F.col("__e.value").as(idCol),
+        (F.col("__pos") + 1).cast("long").as("rank"))
+  }
+
   /** Deterministic holdout split: assigns each row the first label whose
     * cumulative fraction of the 2^32 hash space covers `hashCol` — the
     * standard reproducible train/valid/test assignment, stable under

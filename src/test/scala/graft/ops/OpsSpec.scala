@@ -181,6 +181,38 @@ class OpsSpec extends SparkTestBase {
     assert(again === rows)
   }
 
+  test("weightedSample: matches local A-ES computation; heavy weight dominates") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(F.col("lang"), F.col("doc_id"), F.col("n_chars"))
+      .withColumn("__hv", (F.col("doc_id") * F.lit(2654435761L)) % F.lit(4294967296L))
+    val got = graft.ops.Sampling.weightedSample(
+        docs, "lang", "doc_id", F.col("n_chars"), F.col("__hv"), 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // the same A-ES formula computed locally in this JVM must agree exactly
+    val local = docs.select("lang", "doc_id", "n_chars").collect()
+      .map { r =>
+        val id = r.getLong(1)
+        val hv = (id * 2654435761L) % 4294967296L
+        val key = math.pow((hv + 0.5) / 4294967296.0, 1.0 / r.getLong(2))
+        (r.getString(0), id, key)
+      }
+      .groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+        rows.toSeq.sortBy { case (_, id, key) => (-key, id) }.take(5)
+          .zipWithIndex.map { case ((_, id, _), i) => (lang, id, (i + 1).toLong) }
+      }.toSet
+    assert(got === local)
+    // a weight 10^9 times everyone else's is picked first ~surely
+    val skew = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1000000000L))
+      .toDF("id", "w")
+      .withColumn("__hv", (F.col("id") * F.lit(2654435761L)) % F.lit(4294967296L))
+      .withColumn("g", F.lit("x"))
+    val first = graft.ops.Sampling.weightedSample(
+        skew, "g", "id", F.col("w"), F.col("__hv"), 1)
+      .collect()(0).getLong(1)
+    assert(first === 4L)
+  }
+
   test("hashSplit: exact threshold boundaries, full coverage, determinism") {
     import spark.implicits._
     // hv exactly AT a threshold belongs to the NEXT bucket (strict <)
