@@ -49,7 +49,11 @@ object Sampling {
       weightCol: Column, hashCol: Column, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val u = (hashCol.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
-    val key = F.pow(u, F.lit(1.0) / weightCol.cast("double"))
+    // A-ES is defined for w > 0; a negative w would make u^(1/w) > 1 and
+    // silently dominate the sample, so non-positive weights are excluded
+    // (null keys are skipped by the top_k_by heap)
+    val w = weightCol.cast("double")
+    val key = F.when(w > 0, F.pow(u, F.lit(1.0) / w))
     df.select(F.col(strataCol), F.col(idCol), key.as("__key"))
       .groupBy(F.col(strataCol))
       .agg(top_k_by(F.col(idCol), F.col("__key"), k).as("__topk"))

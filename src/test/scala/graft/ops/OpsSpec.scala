@@ -211,6 +211,14 @@ class OpsSpec extends SparkTestBase {
         skew, "g", "id", F.col("w"), F.col("__hv"), 1)
       .collect()(0).getLong(1)
     assert(first === 4L)
+    // non-positive weights are excluded, never dominant
+    val bad = Seq((1L, 5L), (2L, -1L), (3L, 0L)).toDF("id", "w")
+      .withColumn("__hv", (F.col("id") * F.lit(2654435761L)) % F.lit(4294967296L))
+      .withColumn("g", F.lit("x"))
+    val kept = graft.ops.Sampling.weightedSample(
+        bad, "g", "id", F.col("w"), F.col("__hv"), 3)
+      .collect().map(_.getLong(1)).toSeq
+    assert(kept === Seq(1L))
   }
 
   test("hashSplit: exact threshold boundaries, full coverage, determinism") {
