@@ -376,6 +376,76 @@ object SparkEntry {
         .orderBy("user_id", "s_start")
     }),
 
+    // the SAME sessionization through the REAL streaming engine: session
+    // windows straddling the time-midpoint batch split exist as separate
+    // state entries after batch 1 and must MERGE with batch 2's rows
+    // (MergingSessions under the state store); the punctuation batch
+    // advances the watermark past every real session's end so append
+    // mode emits them all. Result must equal batch sessionization — the
+    // same gaps-and-islands oracle applies verbatim.
+    "streaming_sessionization" -> ((s, dir) => {
+      val ev = read(s, dir, "events")
+      val mm = ev.agg(F.min(F.col("ts")), F.max(F.col("ts"))).head()
+      def ms(x: Any): Long = x match {
+        case t: java.sql.Timestamp => t.getTime
+        case d: java.time.LocalDateTime =>
+          d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      }
+      def tsLit(millis: Long): org.apache.spark.sql.Column = mm.get(0) match {
+        case _: java.time.LocalDateTime => F.lit(java.time.LocalDateTime
+          .ofInstant(java.time.Instant.ofEpochMilli(millis), java.time.ZoneOffset.UTC))
+        case _ => F.lit(new java.sql.Timestamp(millis))
+      }
+      val cutoff = tsLit((ms(mm.get(0)) + ms(mm.get(1))) / 2)
+      val staged = stagingDir("graft_ssz_in")
+      def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = stagingDir("graft_ssz_tmp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = {
+          val l = java.nio.file.Files.list(tmp)
+          try l.filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally l.close()
+        }
+        val dst = staged.resolve(name)
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      stage(ev.filter(F.col("ts") < cutoff), "batch-0.parquet", 1600000000000L)
+      stage(ev.filter(F.col("ts") >= cutoff), "batch-1.parquet", 1600000060000L)
+      stage(ev.limit(1).select(F.col("event_id"),
+        tsLit(ms(mm.get(1)) + 30L * 86400000L).as("ts"),
+        F.col("user_id"), F.lit("zz_punct").as("event_type"),
+        F.col("value"), F.col("props")), "batch-2.parquet", 1600000120000L)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged.toString)
+      val name = s"ssz_out_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q =
+        try {
+          stream.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "1 minute")
+            .groupBy(F.session_window(F.col("ts"), "2 hours").as("w"), F.col("user_id"))
+            .agg(F.count(F.lit(1)).as("n_events"),
+              F.round(F.sum(F.col("value")), 2).as("sum_value"))
+            .select(F.col("user_id"),
+              F.col("w.start").cast("timestamp_ntz").as("s_start"),
+              F.col("w.end").cast("timestamp_ntz").as("s_end"),
+              F.col("n_events"), F.col("sum_value"))
+            .writeStream
+            .outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      q.awaitTermination()
+      s.table(name).orderBy("user_id", "s_start")
+    }),
+
     // semi-structured JSON extraction (SURVEY §2.5 catalog breadth): the
     // props column is a JSON object; extract and aggregate a field.
     // Exact oracle via DuckDB's JSON functions.
@@ -945,6 +1015,25 @@ object SparkEntry {
         |FROM orders WHERE o_custkey % 100 = 0
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+
+    // the watermark-emitted session stream equals batch sessionization;
+    // the punctuation session is withheld by the engine and absent here
+    "streaming_sessionization" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), g AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e
+        |)
+        |SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL 2 HOUR AS s_end,
+        |  CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, s_start""".stripMargin,
 
     // gaps-and-islands: break strictly-greater-than the gap, session end
     // = last event + gap — the measured session_window semantics
