@@ -938,6 +938,20 @@ object SparkEntry {
         .orderBy("asset_id")
     }),
 
+    // audio decode through the REAL javax.sound codec: 48 WAVs are
+    // synthesized in-query (seeded PCM -> hand-built RIFF container on
+    // the executors) and decoded back; the decoded metadata is
+    // arithmetic in the asset id, so the oracle is exact.
+    "audio_decode" -> ((s, dir) => {
+      val assets = graft.ops.Multimodal.generateWavAssets(s, 48)
+      graft.ops.Multimodal.decodeAudioAssets(assets).toDF()
+        .select(F.col("asset_id"),
+          F.col("sample_rate").cast("long").as("sample_rate"),
+          F.col("channels").cast("long").as("channels"),
+          F.col("n_frames"))
+        .orderBy("asset_id")
+    }),
+
     // per-document analysis projections: deterministic custom
     // expressions, rows-only (pinned by OpsSpec goldens/properties)
     "doc_text_analysis" -> ((s, dir) => {
@@ -1215,6 +1229,15 @@ object SparkEntry {
 
     // the synthesized-PNG corpus is a pure function of (id, seed): decoded
     // dims/channels and the pixel-dedup canonical id are closed-form
+    // the real javax.sound decode must reproduce the synthesis arithmetic
+    "audio_decode" ->
+      """SELECT CAST(i AS BIGINT) AS asset_id,
+        |  CAST(CASE WHEN i % 3 = 0 THEN 8000 WHEN i % 3 = 1 THEN 16000
+        |            ELSE 32000 END AS BIGINT) AS sample_rate,
+        |  CAST(1 + i % 2 AS BIGINT) AS channels,
+        |  CAST(400 + 100 * (i % 5) AS BIGINT) AS n_frames
+        |FROM generate_series(0, 47) t(i) ORDER BY asset_id""".stripMargin,
+
     "multimodal_decode" ->
       """SELECT CAST(i AS BIGINT) AS asset_id,
         |  CAST(16 + (i % 48) % 16 AS BIGINT) AS width,

@@ -6,11 +6,13 @@ import graft.core.hash.Murmur2Kernel
 
 /** Multimodal (image/audio/video) columns for training-data pipelines:
   * opaque binary content + typed metadata. IMAGE decode is REAL for the
-  * JDK-native codecs (png/jpeg/gif/bmp via `javax.imageio` — present on
-  * every executor with no extra jars); audio/video decode and formats the
-  * JDK lacks (webp) remain deterministic fakes behind documented `STUB:`
-  * fallbacks, while the Spark-side plumbing — schema, size-aware
-  * partitioning, batch iteration, frame explosion — is real and tested.
+  * JDK-native codecs (png/jpeg/gif/bmp via `javax.imageio`) and AUDIO
+  * decode is REAL for the JDK-native containers (WAV/AIFF/AU PCM via
+  * `javax.sound.sampled`) — both present on every executor with no extra
+  * jars. Video decode and the formats the JDK lacks (webp, mp3, flac,
+  * ogg) remain deterministic fakes behind documented `STUB:` fallbacks,
+  * while the Spark-side plumbing — schema, size-aware partitioning,
+  * batch iteration, frame explosion — is real and tested.
   *
   * Remaining swap-in points are marked `STUB:`; a real deployment
   * replaces the fake with a codec call (JVM) or a
@@ -117,6 +119,101 @@ object Multimodal {
       val fmt = if (i == pix) "png" else "bmp" // twins: other container
       javax.imageio.ImageIO.write(img, fmt, bos)
       Asset(i, "image", bos.toByteArray, w, h, 0, fmt)
+    }
+  }
+
+  /** Deterministic REAL-WAV corpus: seeded 16-bit PCM frames wrapped in
+    * a hand-built RIFF/WAVE header — genuine encoded audio bytes with
+    * zero external data, so [[decodeAudio]] runs the real
+    * `javax.sound.sampled` codec end to end (WAV/AIFF/AU PCM ship with
+    * the JDK; mp3/flac/ogg do not and stay on the documented fake path).
+    * Parameters are arithmetic in the asset id — sampleRate 8000<<(i%3),
+    * channels 1+(i%2), frames 400+100·(i%5) — so a SQL oracle can check
+    * the decoded metadata exactly. */
+  def generateWavAssets(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[Asset] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val sampleRate = 8000 << (i % 3).toInt
+      val channels = 1 + (i % 2).toInt
+      val frames = 400 + 100 * (i % 5).toInt
+      val dataLen = frames * channels * 2
+      val pcm = new Array[Byte](dataLen)
+      var off = 0
+      var ctr = 0L
+      while (off < dataLen) {
+        val h = Murmur2Kernel.hash64Seeded(
+          graft.core.ByteOps.utf8(s"wav:$i:$ctr"), seed)
+        var b = 0
+        while (b < 8 && off < dataLen) {
+          pcm(off) = (h >>> (b * 8)).toByte
+          off += 1
+          b += 1
+        }
+        ctr += 1
+      }
+      Asset(i, "audio", wavBytes(sampleRate, channels, pcm), 0, 0,
+        (frames * 1000L / sampleRate).toInt, "wav")
+    }
+  }
+
+  /** Canonical 44-byte PCM RIFF/WAVE container around raw 16-bit LE
+    * frames — a pure function of (rate, channels, pcm). */
+  private def wavBytes(sampleRate: Int, channels: Int, pcm: Array[Byte]): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val bb = java.nio.ByteBuffer.allocate(44 + pcm.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(ascii)).putInt(36 + pcm.length)
+      .put("WAVE".getBytes(ascii)).put("fmt ".getBytes(ascii)).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort) // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes(ascii)).putInt(pcm.length)
+      .put(pcm)
+    bb.array()
+  }
+
+  final case class DecodedAudio(asset_id: Long, sample_rate: Int,
+      channels: Int, n_frames: Long, pcm_fingerprint: Long)
+
+  /** Decode one audio asset with the JDK-native codec chain
+    * (`javax.sound.sampled`). Returns (sampleRate, channels, frames,
+    * fingerprint of the DECODED PCM bytes) or None when no installed
+    * codec recognizes the container. */
+  def decodeAudio(content: Array[Byte]): Option[(Int, Int, Long, Long)] = {
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(content)))
+      try {
+        val fmt = in.getFormat
+        val pcm = in.readAllBytes()
+        val frames =
+          if (fmt.getFrameSize > 0) pcm.length.toLong / fmt.getFrameSize else 0L
+        Some((fmt.getSampleRate.toInt, fmt.getChannels, frames,
+          Murmur2Kernel.hash64(pcm)))
+      } finally in.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** Decode audio: REAL for JDK-native containers, the documented
+    * deterministic fake otherwise (same contract as [[decodeImages]]).
+    * Iterator-shaped mapPartitions — the scale contract for binary
+    * columns. */
+  def decodeAudioAssets(assets: Dataset[Asset]): Dataset[DecodedAudio] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "audio").mapPartitions { it =>
+      it.map { a =>
+        decodeAudio(a.content) match {
+          case Some((rate, ch, frames, fp)) =>
+            DecodedAudio(a.asset_id, rate, ch, frames, fp)
+          case None =>
+            // STUB fallback: no installed codec (mp3/flac/ogg)
+            DecodedAudio(a.asset_id, 0, 0, 0L, Murmur2Kernel.hash64(a.content))
+        }
+      }
     }
   }
 

@@ -139,4 +139,29 @@ class MultimodalSpec extends SparkTestBase {
     // byte-level dedup provably cannot merge the twins; pixel-level does
     assert(Multimodal.dedupAssets(ds).count() === n)
   }
+
+  test("synthesized real-WAV corpus: javax.sound codec round-trip is exact") {
+    import spark.implicits._
+    val assets = Multimodal.generateWavAssets(spark, 24)
+    val dec = Multimodal.decodeAudioAssets(assets).collect().sortBy(_.asset_id)
+    assert(dec.length === 24)
+    dec.foreach { d =>
+      val i = d.asset_id
+      assert(d.sample_rate === (8000 << (i % 3).toInt), s"asset $i rate")
+      assert(d.channels === 1 + (i % 2).toInt, s"asset $i channels")
+      assert(d.n_frames === 400 + 100 * (i % 5), s"asset $i frames")
+    }
+    // the fingerprint is of the DECODED PCM: recompute locally by parsing
+    // the same container through the same JDK codec
+    val local = assets.collect().sortBy(_.asset_id).map { a =>
+      Multimodal.decodeAudio(a.content).get._4
+    }
+    assert(dec.map(_.pcm_fingerprint).toSeq === local.toSeq)
+    // regeneration is byte-identical (pure function of the id)
+    val again = Multimodal.generateWavAssets(spark, 24).collect().sortBy(_.asset_id)
+    assert(again.zip(assets.collect().sortBy(_.asset_id))
+      .forall { case (x, y) => java.util.Arrays.equals(x.content, y.content) })
+    // unsupported container falls back to the documented fake path
+    assert(Multimodal.decodeAudio(Array[Byte](1, 2, 3, 4)).isEmpty)
+  }
 }
