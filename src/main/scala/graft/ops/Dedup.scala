@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 
 import graft.spark.functions.murmur64
 
@@ -17,6 +17,12 @@ import graft.spark.functions.murmur64
   *    a Hamming-distance verify (bit_count(xor) — codegen'd built-in).
   */
 object Dedup {
+
+  /** Most recent [[ngramJaccardPairs]] persisted shingle table per
+    * session — replaced (and the predecessor unpersisted) on each new
+    * invocation, so repeated calls strand at most ONE cached copy. */
+  private val ngramPersisted =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
 
   /** Exact duplicate groups by content hash: keeps the minimum id per
     * distinct text. Default shuffles 16 bytes/row regardless of document
@@ -122,11 +128,24 @@ object Dedup {
     * the floating-point slack on the ceil only ever lengthens prefixes
     * (completeness is never rounding-dependent).
     *
+    * Candidate generation also applies PPJoin's POSITIONAL filter (Xiao
+    * et al. ICDE'08 §3.2): a prefix-token match at (1-based) positions
+    * pa, pb bounds the overlap by 1 + min(|A|-pa, |B|-pb), because for
+    * the FIRST shared token in the global order every other common token
+    * sits strictly after it in both sorted arrays. Jaccard >= t forces
+    * overlap >= t/(1+t)·(|A|+|B|), so candidates whose bound falls short
+    * at every shared prefix token are pruned at generation time —
+    * completeness holds at the first-shared-token row, and the exact
+    * verification join keeps the output sound either way.
+    *
     * The rarity-ordered per-doc shingle table is persisted
     * (MEMORY_AND_DISK) because four plan branches consume it and Spark
-    * re-executes, not shares, common subplans; callers running many
-    * dedup passes in one session can release it with
-    * `spark.catalog.clearCache()`. */
+    * re-executes, not shares, common subplans. Each invocation RELEASES
+    * the previous invocation's cached table for the same session (the
+    * driver bench calls every query twice; un-scoped persists would
+    * strand a copy per call for the JVM's lifetime) — DataFrames
+    * returned by earlier invocations stay correct and simply recompute
+    * if re-executed. */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
@@ -167,22 +186,38 @@ object Dedup {
         F.transform(F.col("__ts"), t => t.getField("__tok")).as("__toks"),
         F.col("__sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prev = ngramPersisted.put(df.sparkSession, byDoc)
+    if (prev != null && (prev ne byDoc)) prev.unpersist(blocking = false)
     // prefix length |X| - ceil(t·|X|) + 1; the 1e-9 slack can only shrink
     // the ceil, i.e. LENGTHEN the prefix — always safe
     val plen = (F.col("__sz") -
       F.ceil(F.lit(threshold) * F.col("__sz") - F.lit(1e-9)) + 1).cast("int")
+    // __p is the token's 0-based position within the rarity-ordered array
+    // — the input to the positional filter below
     val prefix = byDoc.select(F.col("__id"), F.col("__sz"),
-      F.explode(F.slice(F.col("__toks"), F.lit(1), plen)).as("__tok"))
+      F.posexplode(F.slice(F.col("__toks"), F.lit(1), plen)).as(Seq("__p", "__tok")))
 
+    // overlap lower bound required by Jaccard >= t:
+    // |A ∩ B| >= t/(1+t)·(|A|+|B|); slack only ever ADMITS borderline
+    // candidates — the exact verify rejects them
+    val needOverlap = F.ceil(F.lit(threshold / (1.0 + threshold)) *
+      (F.col("__sza") + F.col("__szb")).cast("double") - F.lit(1e-9))
     val cand = prefix
-      .select(F.col("__tok"), F.col("__id").as("id_a"), F.col("__sz").as("__sza"))
-      .join(prefix.select(
-        F.col("__tok"), F.col("__id").as("id_b"), F.col("__sz").as("__szb")), Seq("__tok"))
+      .select(F.col("__tok"), F.col("__id").as("id_a"),
+        F.col("__sz").as("__sza"), F.col("__p").as("__pa"))
+      .join(prefix.select(F.col("__tok"), F.col("__id").as("id_b"),
+        F.col("__sz").as("__szb"), F.col("__p").as("__pb")), Seq("__tok"))
       .filter(F.col("id_a") < F.col("id_b"))
-      // size pruning: Jaccard >= t forces min >= t·max (slack again only
-      // ever ADMITS borderline candidates — the exact verify rejects them)
+      // size pruning: Jaccard >= t forces min >= t·max
       .filter(F.least(F.col("__sza"), F.col("__szb")).cast("double") >=
         F.lit(threshold) * F.greatest(F.col("__sza"), F.col("__szb")).cast("double") - F.lit(1e-9))
+      // positional filter (PPJoin): tokens strictly after this shared one
+      // number |X| - (p+1) on each side; the overlap can't exceed
+      // 1 + min of those, so a pair whose bound misses needOverlap at
+      // every shared prefix token can't reach Jaccard t
+      .filter(F.lit(1) + F.least(
+        F.col("__sza") - F.col("__pa") - 1,
+        F.col("__szb") - F.col("__pb") - 1) >= needOverlap)
       .select("id_a", "id_b", "__sza", "__szb")
       .dropDuplicates("id_a", "id_b")
 

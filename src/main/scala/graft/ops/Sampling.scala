@@ -48,7 +48,12 @@ object Sampling {
   def weightedSample(df: DataFrame, strataCol: String, idCol: String,
       weightCol: Column, hashCol: Column, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val u = (hashCol.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    // fold the hash into the unsigned 32-bit ring: a SIGNED hash (raw
+    // murmur32) would give u < 0, pow(u, 1/w) = NaN, and the NaN keys
+    // would be silently skipped by the heap — a shrunken, biased sample
+    // with no error. pmod is the identity for already-unsigned inputs.
+    val u = (F.pmod(hashCol.cast("long"), F.lit(4294967296L)).cast("double") +
+      F.lit(0.5)) / F.lit(4294967296.0)
     // A-ES is defined for w > 0; a negative w would make u^(1/w) > 1 and
     // silently dominate the sample, so non-positive weights are excluded
     // (null keys are skipped by the top_k_by heap)

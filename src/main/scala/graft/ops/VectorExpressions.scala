@@ -124,7 +124,9 @@ case class IvfCellsExpr(child: Expression, centroids: Array[Array[Double]],
         }
         d += 1
       }
-      dots(c) = dot
+      // a single NaN element poisons every dot; map to -Inf so the vector
+      // deterministically loses the ranking instead of crashing selection
+      dots(c) = if (dot != dot) Double.NegativeInfinity else dot
       c += 1
     }
     // selection of the top nprobe by (dot desc, index asc): nprobe is
@@ -139,6 +141,13 @@ case class IvfCellsExpr(child: Expression, centroids: Array[Array[Double]],
       while (i < n) {
         if (!taken(i) && dots(i) > bestDot) { best = i; bestDot = dots(i) }
         i += 1
+      }
+      if (best == -1) {
+        // every remaining dot is -Infinity (all-NaN input): degrade to
+        // the first untaken cell rather than crash the query
+        var j = 0
+        while (taken(j)) j += 1
+        best = j
       }
       taken(best) = true
       out(s) = best
