@@ -181,6 +181,29 @@ object BloomSketch {
       new Array[Long](NumBitSets * wordsPerSet))
   }
 
+  /** Interop factory ([[BloomInterop]]): build a sketch around
+    * externally-supplied bit-set word images. `sets(radix)` is the
+    * little-endian long[] of bit-set `radix` — `java.util.BitSet
+    * .toLongArray` layout, which is exactly this class's word layout —
+    * zero-extended when shorter than a full set (BitSet trims trailing
+    * zero words). */
+  private[sketch] def fromWords(kernel: HashKernel64, maxSize: Long,
+      bitsPerItem: Int, longHash: Boolean, sets: Array[Array[Long]]): BloomSketch = {
+    require(sets.length == NumBitSets,
+      s"expected $NumBitSets bit sets, got ${sets.length}")
+    val sk = apply(maxSize, bitsPerItem, kernel, longHash)
+    val wps = (sk.bitSetLength + 63) >>> 6
+    var r = 0
+    while (r < NumBitSets) {
+      val src = sets(r)
+      require(src.length <= wps,
+        s"bit set $r carries ${src.length} words; config allows $wps")
+      System.arraycopy(src, 0, sk.words, r * wps, src.length)
+      r += 1
+    }
+    sk
+  }
+
   def deserialize(bytes: Array[Byte]): BloomSketch = {
     val buf = ByteBuffer.wrap(bytes)
     require(buf.getInt() == Magic, "not a BloomSketch buffer")

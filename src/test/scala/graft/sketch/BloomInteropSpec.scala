@@ -1,0 +1,77 @@
+package graft.sketch
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential interop: the committed `.blm` fixtures were written by
+  * the COMPILED, UNMODIFIED reference (`cmd/mkblm.java` and a direct
+  * `BloomFilter.getState()` serialization; see FIXTURES.md §5) — the
+  * reader must reproduce the native graft build bit for bit and answer
+  * every probe identically. */
+class BloomInteropSpec extends AnyFunSuite {
+
+  private def load(name: String): BloomSketch = {
+    val in = getClass.getResourceAsStream(s"/interop/$name")
+    assert(in != null, s"missing fixture $name")
+    try BloomInterop.readFilterState(in) finally in.close()
+  }
+
+  test("reference mkblm .blm (murmur, long hash) converts bit-identically") {
+    val converted = load("ref_murmur_5000x8.blm")
+    assert(converted.kernel.name == "murmur2")
+    assert(converted.maxSize == 5000L)
+    assert(converted.bitsPerItem == 8)
+    assert(converted.longHash)
+
+    val native = BloomSketch(5000L, 8)
+    (0 until 5000).foreach(i => native.put(f"k$i%05d"))
+    // strongest check: the converted state IS the natively-built state
+    assert(java.util.Arrays.equals(converted.serialize(), native.serialize()))
+    // and behaviorally: identical accept/reject on members + 15k probes
+    (0 until 20000).foreach { i =>
+      val key = f"k$i%05d"
+      assert(converted.contains(key) == native.contains(key), key)
+      if (i < 5000) assert(converted.contains(key), s"false negative $key")
+    }
+  }
+
+  test("reference .blm with jenkins int-hash config converts bit-identically") {
+    val converted = load("ref_jenkins_2000x9_int.blm")
+    assert(converted.kernel.name == "jenkins")
+    assert(converted.maxSize == 2000L)
+    assert(converted.bitsPerItem == 9) // odd bpe: exercises the recovery inversion
+    assert(!converted.longHash)
+
+    val native = BloomSketch(2000L, 9, graft.core.hash.HashKernels.jenkins, longHash = false)
+    (0 until 2000).foreach(i => native.put(f"jk$i%05d"))
+    assert(java.util.Arrays.equals(converted.serialize(), native.serialize()))
+    (0 until 8000).foreach { i =>
+      val key = f"jk$i%05d"
+      assert(converted.contains(key) == native.contains(key), key)
+    }
+  }
+
+  test("hostile class names in the stream are rejected") {
+    // a Java-serialized HashMap: the header is valid serialization, but
+    // the class is outside the allowlist — must throw, not instantiate
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(new java.util.HashMap[String, String]())
+    oos.close()
+    val in = new java.io.ByteArrayInputStream(bos.toByteArray)
+    intercept[java.io.InvalidClassException] {
+      BloomInterop.readFilterState(in)
+    }
+  }
+
+  test("inconsistent FilterState geometry is rejected") {
+    val ex = intercept[IllegalArgumentException] {
+      // maxSize/bitSetLength/k with no bpe preimage
+      val m = classOf[BloomInterop.type].getDeclaredMethods
+        .find(_.getName == "recoverBitsPerElement").get
+      m.setAccessible(true)
+      try m.invoke(BloomInterop, Long.box(1000L), Int.box(999999), Int.box(3))
+      catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
+    }
+    assert(ex.getMessage.contains("no consistent bitsPerElement"))
+  }
+}
