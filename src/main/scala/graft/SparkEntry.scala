@@ -974,6 +974,26 @@ object SparkEntry {
         .orderBy("asset_id")
     }),
 
+    // video frame sampling through the REAL ImageIO frame decoder: 48
+    // multi-frame animated GIFs are synthesized in-query (solid exact-
+    // palette frames + real GraphicControlExtension delay metadata), and
+    // the sampler must decode frames, parse per-frame delays, and pick
+    // the frame on display at each 200 ms instant. Every output column —
+    // including the DECODED top-left pixel — is arithmetic in the asset
+    // id, so the oracle is exact (the audio_decode pattern).
+    "frame_sample" -> ((s, dir) => {
+      val assets = graft.ops.Multimodal.generateGifAssets(s, 48)
+      graft.ops.Multimodal.sampleFramesDetailed(assets, everyMs = 200).toDF()
+        .select(F.col("asset_id"),
+          F.col("sample_idx").cast("long").as("sample_idx"),
+          F.col("frame_idx").cast("long").as("frame_idx"),
+          F.col("ts_ms").cast("long").as("ts_ms"),
+          F.col("width").cast("long").as("width"),
+          F.col("height").cast("long").as("height"),
+          F.col("argb00"))
+        .orderBy("asset_id", "sample_idx")
+    }),
+
     // per-document analysis projections: deterministic custom
     // expressions, rows-only (pinned by OpsSpec goldens/properties)
     "doc_text_analysis" -> ((s, dir) => {
@@ -1259,6 +1279,29 @@ object SparkEntry {
         |  CAST(1 + i % 2 AS BIGINT) AS channels,
         |  CAST(400 + 100 * (i % 5) AS BIGINT) AS n_frames
         |FROM generate_series(0, 47) t(i) ORDER BY asset_id""".stripMargin,
+
+    // the GIF corpus is closed-form in the asset id: nf = 2 + i%4 frames
+    // of 100 ms each, sampled every 200 ms -> sample k shows source
+    // frame min(nf-1, 2k); the solid frame color v = (i*31 + f*7) % 16
+    // maps to ARGB (255, 17v, 17((v+5)%16), 17((v+11)%16)) — the decoded
+    // pixel the real codec must reproduce
+    "frame_sample" ->
+      """WITH a AS (SELECT i, 2 + i % 4 AS nf, 16 + i % 8 AS w, 16 + i % 4 AS h
+        |           FROM generate_series(0, 47) t(i)),
+        |s AS (SELECT i, nf, w, h,
+        |        unnest(range(0, CAST(ceil(nf * 100.0 / 200.0) AS BIGINT))) AS k
+        |      FROM a),
+        |f AS (SELECT i, nf, w, h, k, least(nf - 1, k * 2) AS fi FROM s),
+        |c AS (SELECT i, w, h, k, fi, (i * 31 + fi * 7) % 16 AS v FROM f)
+        |SELECT CAST(i AS BIGINT) AS asset_id,
+        |  CAST(k AS BIGINT) AS sample_idx,
+        |  CAST(fi AS BIGINT) AS frame_idx,
+        |  CAST(k * 200 AS BIGINT) AS ts_ms,
+        |  CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CAST(4278190080 + 17 * v * 65536 + 17 * ((v + 5) % 16) * 256
+        |     + 17 * ((v + 11) % 16) AS BIGINT) AS argb00
+        |FROM c ORDER BY asset_id, sample_idx""".stripMargin,
 
     "multimodal_decode" ->
       """SELECT CAST(i AS BIGINT) AS asset_id,

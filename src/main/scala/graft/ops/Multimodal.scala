@@ -6,13 +6,15 @@ import graft.core.hash.Murmur2Kernel
 
 /** Multimodal (image/audio/video) columns for training-data pipelines:
   * opaque binary content + typed metadata. IMAGE decode is REAL for the
-  * JDK-native codecs (png/jpeg/gif/bmp via `javax.imageio`) and AUDIO
+  * JDK-native codecs (png/jpeg/gif/bmp via `javax.imageio`), AUDIO
   * decode is REAL for the JDK-native containers (WAV/AIFF/AU PCM via
-  * `javax.sound.sampled`) — both present on every executor with no extra
-  * jars. Video decode and the formats the JDK lacks (webp, mp3, flac,
-  * ogg) remain deterministic fakes behind documented `STUB:` fallbacks,
-  * while the Spark-side plumbing — schema, size-aware partitioning,
-  * batch iteration, frame explosion — is real and tested.
+  * `javax.sound.sampled`), and FRAME SAMPLING is REAL for the JDK-native
+  * multi-frame container (animated GIF: frames + per-frame delay
+  * metadata via the `ImageIO` frame reader) — all present on every
+  * executor with no extra jars. The formats the JDK lacks (webp, mp3,
+  * flac, ogg, mp4, webm) remain deterministic fakes behind documented
+  * `STUB:` fallbacks, while the Spark-side plumbing — schema, size-aware
+  * partitioning, batch iteration, frame explosion — is real and tested.
   *
   * Remaining swap-in points are marked `STUB:`; a real deployment
   * replaces the fake with a codec call (JVM) or a
@@ -174,6 +176,65 @@ object Multimodal {
     bb.array()
   }
 
+  /** Per-frame GIF delay used by [[generateGifAssets]] (10 ms units on
+    * the wire: the GIF GraphicControlExtension stores centiseconds). */
+  final val GifFrameDelayMs = 100
+
+  /** Deterministic REAL-GIF corpus: multi-frame animated GIFs written by
+    * the JDK's own `ImageIO` GIF writer (write-sequence API with a real
+    * GraphicControlExtension carrying delayTime per frame) — genuine
+    * multi-frame video-like assets with zero external data, so the frame
+    * sampler runs the real frame decode + metadata parse end to end.
+    * Every parameter is arithmetic in the asset id (the WAV-corpus
+    * pattern): nFrames = 2 + i%4, dims (16 + i%8) x (16 + i%4), and
+    * frame f is a SOLID color v = (i·31 + f·7) % 16 with channels
+    * (17v, 17·((v+5)%16), 17·((v+11)%16)) — at most 16 exact palette
+    * colors, so the GIF round-trip is lossless and a SQL oracle can
+    * check the DECODED pixel value exactly. */
+  def generateGifAssets(spark: SparkSession, n: Long): Dataset[Asset] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val nFrames = 2 + (i % 4).toInt
+      val w = 16 + (i % 8).toInt
+      val h = 16 + (i % 4).toInt
+      val bos = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val v = ((i * 31 + f * 7) % 16).toInt
+        val rgb = (17 * v << 16) | (17 * ((v + 5) % 16) << 8) | (17 * ((v + 11) % 16))
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g2 = img.createGraphics()
+        g2.setColor(new java.awt.Color(rgb))
+        g2.fillRect(0, 0, w, h)
+        g2.dispose()
+        val meta = writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+        val fmtName = meta.getNativeMetadataFormatName
+        val root = meta.getAsTree(fmtName)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        val gce = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", (GifFrameDelayMs / 10).toString)
+        gce.setAttribute("transparentColorIndex", "0")
+        root.appendChild(gce)
+        meta.setFromTree(fmtName, root)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+      writer.dispose()
+      ios.close()
+      Asset(i, "video", bos.toByteArray, w, h, nFrames * GifFrameDelayMs, "gif")
+    }
+  }
+
   final case class DecodedAudio(asset_id: Long, sample_rate: Int,
       channels: Int, n_frames: Long, pcm_fingerprint: Long)
 
@@ -244,33 +305,37 @@ object Multimodal {
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
       if (img == null) None
-      else {
-        val w = img.getWidth
-        val h = img.getHeight
-        val channels = img.getColorModel.getNumComponents
-        val rowInts = new Array[Int](w)
-        val rowBytes = new Array[Byte](w * 4)
-        var fp = 0L
-        var y = 0
-        while (y < h) {
-          img.getRGB(0, y, w, 1, rowInts, 0, w)
-          var x = 0
-          while (x < w) {
-            val p = rowInts(x)
-            rowBytes(x * 4) = (p >>> 24).toByte
-            rowBytes(x * 4 + 1) = (p >>> 16).toByte
-            rowBytes(x * 4 + 2) = (p >>> 8).toByte
-            rowBytes(x * 4 + 3) = p.toByte
-            x += 1
-          }
-          fp = Murmur2Kernel.hash64Seeded(rowBytes, fp)
-          y += 1
-        }
-        Some((w, h, channels, fp))
-      }
+      else Some((img.getWidth, img.getHeight,
+        img.getColorModel.getNumComponents, pixelFingerprint(img)))
     } catch {
       case scala.util.control.NonFatal(_) => None
     }
+  }
+
+  /** Seeded murmur chain over row-major ARGB rows — a deterministic
+    * function of the DECODED pixels with O(width) scratch. */
+  private def pixelFingerprint(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val rowInts = new Array[Int](w)
+    val rowBytes = new Array[Byte](w * 4)
+    var fp = 0L
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, rowInts, 0, w)
+      var x = 0
+      while (x < w) {
+        val p = rowInts(x)
+        rowBytes(x * 4) = (p >>> 24).toByte
+        rowBytes(x * 4 + 1) = (p >>> 16).toByte
+        rowBytes(x * 4 + 2) = (p >>> 8).toByte
+        rowBytes(x * 4 + 3) = p.toByte
+        x += 1
+      }
+      fp = Murmur2Kernel.hash64Seeded(rowBytes, fp)
+      y += 1
+    }
+    fp
   }
 
   /** Decode images: REAL for the JDK-native codecs (png/jpeg/gif/bmp via
@@ -308,19 +373,129 @@ object Multimodal {
     }
   }
 
-  /** Sample frames from video assets every `everyMs`. STUB: the fake
-    * frame fingerprint is a function of (content fingerprint, ts) — a
-    * real pipeline seeks+decodes. The EXPLOSION (one row per frame,
-    * bounded by duration) is the real plumbing being tested. */
+  /** One decoded frame of a multi-frame container: its display delay
+    * (from the GIF GraphicControlExtension; [[GifFrameDelayMs]] when the
+    * stream carries none), dims, the top-left pixel as unsigned ARGB
+    * (the SQL-checkable decode witness), and the full pixel
+    * fingerprint. */
+  final case class DecodedFrame(delay_ms: Int, width: Int, height: Int,
+      argb00: Long, pixels_fingerprint: Long)
+
+  /** Decode every frame of a multi-frame container with the JDK-native
+    * `ImageIO` frame reader (animated GIF ships with the JRE). None when
+    * no installed codec recognizes the bytes. */
+  def decodeFrames(content: Array[Byte]): Option[Array[DecodedFrame]] = {
+    var iis: javax.imageio.stream.ImageInputStream = null
+    try {
+      iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      if (n <= 0) return None
+      val out = new Array[DecodedFrame](n)
+      var f = 0
+      while (f < n) {
+        val img = reader.read(f)
+        out(f) = DecodedFrame(frameDelayMs(reader.getImageMetadata(f)),
+          img.getWidth, img.getHeight,
+          img.getRGB(0, 0).toLong & 0xffffffffL, pixelFingerprint(img))
+        f += 1
+      }
+      reader.dispose()
+      Some(out)
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    } finally if (iis != null) iis.close()
+  }
+
+  /** delayTime (centiseconds) from the frame's GraphicControlExtension;
+    * [[GifFrameDelayMs]] for streams that carry none. */
+  private def frameDelayMs(meta: javax.imageio.metadata.IIOMetadata): Int = {
+    try {
+      val kids = meta.getAsTree("javax_imageio_gif_image_1.0").getChildNodes
+      var i = 0
+      while (i < kids.getLength) {
+        val nd = kids.item(i)
+        if (nd.getNodeName == "GraphicControlExtension") {
+          val v = nd.getAttributes.getNamedItem("delayTime")
+          if (v != null) {
+            val ms = v.getNodeValue.toInt * 10
+            return if (ms > 0) ms else GifFrameDelayMs
+          }
+        }
+        i += 1
+      }
+      GifFrameDelayMs
+    } catch { case scala.util.control.NonFatal(_) => GifFrameDelayMs }
+  }
+
+  /** Which source frame is on display at each sample instant k·everyMs
+    * (k·everyMs < total duration): (sampleIdx, frameIdx) pairs. One
+    * forward walk — frame starts are the prefix sums of the delays. */
+  private[ops] def sampleSchedule(delaysMs: Array[Int], everyMs: Int): Seq[(Int, Int)] = {
+    require(everyMs > 0, "everyMs must be > 0")
+    val starts = delaysMs.scanLeft(0)(_ + _)
+    val total = starts.last
+    if (total <= 0) return Seq((0, 0)) // degenerate zero-duration stream
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var k = 0
+    var f = 0
+    while (k.toLong * everyMs < total) {
+      val t = k * everyMs
+      while (f + 1 < delaysMs.length && starts(f + 1) <= t) f += 1
+      out += ((k, f))
+      k += 1
+    }
+    out.toSeq
+  }
+
+  /** Sample frames from video assets every `everyMs` — REAL frame decode
+    * for the JDK-native multi-frame container (animated GIF: frames,
+    * per-frame delay metadata, and pixel fingerprints all come from the
+    * actual `ImageIO` codec). Containers the JDK cannot parse (mp4,
+    * webm, synthetic test bytes) keep the documented deterministic fake
+    * — fingerprint a function of (content fingerprint, ts) — so the
+    * frame-explosion plumbing stays exercised either way. */
   def sampleFrames(assets: Dataset[Asset], everyMs: Int): Dataset[Frame] = {
     import assets.sparkSession.implicits._
     assets.filter(_.kind == "video").flatMap { a =>
-      val contentFp = Murmur2Kernel.hash64(a.content)
-      val n = math.max(1, a.duration_ms / everyMs)
-      (0 until n).iterator.map { f =>
-        val ts = f * everyMs
-        Frame(a.asset_id, f, ts,
-          Murmur2Kernel.hash64Seeded(graft.core.ByteOps.utf8(s"$contentFp:$ts"), 0L))
+      decodeFrames(a.content) match {
+        case Some(frames) =>
+          sampleSchedule(frames.map(_.delay_ms), everyMs).iterator.map {
+            case (k, f) => Frame(a.asset_id, f, k * everyMs, frames(f).pixels_fingerprint)
+          }
+        case None =>
+          // STUB fallback: no installed codec for these bytes
+          val contentFp = Murmur2Kernel.hash64(a.content)
+          val n = math.max(1, a.duration_ms / everyMs)
+          (0 until n).iterator.map { f =>
+            val ts = f * everyMs
+            Frame(a.asset_id, f, ts,
+              Murmur2Kernel.hash64Seeded(graft.core.ByteOps.utf8(s"$contentFp:$ts"), 0L))
+          }
+      }
+    }
+  }
+
+  /** A sampled frame with its decode witnesses — the oracle-facing shape
+    * of [[sampleFrames]] (real decode path only; assets no codec reads
+    * are dropped). */
+  final case class SampledFrame(asset_id: Long, sample_idx: Int, frame_idx: Int,
+      ts_ms: Int, width: Int, height: Int, argb00: Long)
+
+  def sampleFramesDetailed(assets: Dataset[Asset], everyMs: Int): Dataset[SampledFrame] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "video").flatMap { a =>
+      decodeFrames(a.content) match {
+        case Some(frames) =>
+          sampleSchedule(frames.map(_.delay_ms), everyMs).iterator.map { case (k, f) =>
+            val fr = frames(f)
+            SampledFrame(a.asset_id, k, f, k * everyMs, fr.width, fr.height, fr.argb00)
+          }
+        case None => Iterator.empty
       }
     }
   }

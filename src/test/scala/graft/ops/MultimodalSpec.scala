@@ -164,4 +164,56 @@ class MultimodalSpec extends SparkTestBase {
     // unsupported container falls back to the documented fake path
     assert(Multimodal.decodeAudio(Array[Byte](1, 2, 3, 4)).isEmpty)
   }
+
+  test("synthesized real-GIF corpus: frame decode, delay metadata, exact palette round-trip") {
+    val assets = Multimodal.generateGifAssets(spark, 12).collect().sortBy(_.asset_id)
+    assert(assets.length === 12)
+    assets.foreach { a =>
+      val i = a.asset_id
+      val frames = Multimodal.decodeFrames(a.content)
+        .getOrElse(fail(s"asset $i: GIF did not decode"))
+      assert(frames.length === 2 + (i % 4).toInt, s"asset $i frame count")
+      frames.zipWithIndex.foreach { case (fr, f) =>
+        assert(fr.delay_ms === Multimodal.GifFrameDelayMs, s"asset $i frame $f delay")
+        assert(fr.width === 16 + (i % 8).toInt && fr.height === 16 + (i % 4).toInt)
+        val v = ((i * 31 + f * 7) % 16).toInt
+        val expect = 0xff000000L | (17L * v << 16) |
+          (17L * ((v + 5) % 16) << 8) | (17L * ((v + 11) % 16))
+        assert(fr.argb00 === (expect & 0xffffffffL), s"asset $i frame $f pixel")
+      }
+    }
+    // regeneration is byte-identical (pure function of the id)
+    val again = Multimodal.generateGifAssets(spark, 12).collect().sortBy(_.asset_id)
+    assert(again.zip(assets).forall { case (x, y) =>
+      java.util.Arrays.equals(x.content, y.content) })
+  }
+
+  test("sampleFrames: REAL path for GIF (decoded fingerprints), fake path preserved elsewhere") {
+    import spark.implicits._
+    val gifs = Multimodal.generateGifAssets(spark, 6)
+    val sampled = Multimodal.sampleFrames(gifs, everyMs = 200)
+      .collect().sortBy(f => (f.asset_id, f.ts_ms))
+    // asset i has nf = 2 + i%4 frames of 100ms: samples at 0,200,.. < nf*100
+    val expectCount = (0 until 6).map(i => (2 + i % 4) * 100)
+      .map(d => (d + 199) / 200).sum
+    assert(sampled.length === expectCount)
+    // the fingerprint is of DECODED pixels: recompute via decodeFrames
+    val byId = gifs.collect().map(a => a.asset_id ->
+      Multimodal.decodeFrames(a.content).get).toMap
+    sampled.foreach { fr =>
+      assert(fr.frame_idx === math.min(byId(fr.asset_id).length - 1, fr.ts_ms / 100))
+      assert(fr.frame_fingerprint === byId(fr.asset_id)(fr.frame_idx).pixels_fingerprint)
+    }
+  }
+
+  test("sampleSchedule handles irregular delays and boundary instants") {
+    // frames: [0,50) [50,350) [350,400): samples at 0,100,200,300 ->
+    // frames 0,1,1,1; t=400 is not < 400
+    assert(Multimodal.sampleSchedule(Array(50, 300, 50), 100) ===
+      Seq((0, 0), (1, 1), (2, 1), (3, 1)))
+    // exact boundary: t=100 lands on frame 1's start
+    assert(Multimodal.sampleSchedule(Array(100, 100), 100) === Seq((0, 0), (1, 1)))
+    // zero-duration stream degrades to one sample of frame 0
+    assert(Multimodal.sampleSchedule(Array(0, 0), 100) === Seq((0, 0)))
+  }
 }
