@@ -895,6 +895,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // the SAME LSH pipeline in the EXHAUSTIVE regime (bits = 0, one
+    // table => every corpus vector shares the query's single bucket):
+    // the bucket-local rerank provably sees the whole corpus, so the
+    // result equals brute force and similarity_topk's oracle applies
+    // verbatim — an exact end-to-end check of the bucket-join + rerank
+    // machinery itself
+    "lsh_topk_exact" -> ((s, dir) => {
+      val embs = read(s, dir, "embeddings").select(F.col("vec_id"), F.col("embedding"))
+      val queries = embs.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").as("query_id"), F.col("embedding").as("qvec"))
+      Similarity.lshTopK(embs, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 10, bits = 0, tables = 1)
+        .select(F.col("query_id"), F.col("vec_id"),
+          F.col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // near-dup detection suite: rows-only (LSH pipelines are not SQL-
     // expressible); planted +100000 mutated copies guarantee rows>0, and
     // OpsSpec asserts recall/precision with ground truth
@@ -934,6 +951,24 @@ object SparkEntry {
         F.transform(F.col("embedding"), x => x * F.lit(1.0001f)).as("embedding"))
       Dedup.embeddingDupPairs(embs.select(F.col("vec_id"), F.col("embedding"))
         .unionAll(jittered), "vec_id", "embedding", threshold = 0.999, srpBits = 12)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // the SAME pipeline in the EXHAUSTIVE regime (srpBits = 0: constant
+    // signature, one bucket): the candidate set is provably all-pairs,
+    // so the output EQUALS the brute-force cosine join — which DuckDB
+    // expresses with list_cosine_similarity (the ivf_topk trick applied
+    // to the SRP family). Cosine is scale-invariant, so the float-vs-
+    // double jitter arithmetic between engines cannot move any pair
+    // across the wide planted-vs-random threshold margin; the float
+    // cosine itself is excluded from the output (ids only).
+    "embedding_dups_exact" -> ((s, dir) => {
+      val embs = read(s, dir, "embeddings")
+      val jittered = embs.select((F.col("vec_id") + 100000).as("vec_id"),
+        F.transform(F.col("embedding"), x => x * F.lit(1.0001f)).as("embedding"))
+      Dedup.embeddingDupPairs(embs.select(F.col("vec_id"), F.col("embedding"))
+        .unionAll(jittered), "vec_id", "embedding", threshold = 0.999, srpBits = 0)
+        .select(F.col("id_a"), F.col("id_b"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -1417,6 +1452,31 @@ object SparkEntry {
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "similarity_topk" ->
+      """SELECT query_id, vec_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC, c.vec_id) AS rank
+        |  FROM embeddings c, embeddings q WHERE q.vec_id < 5
+        |) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // exhaustive-regime SRP dedup equals the brute-force all-pairs
+    // cosine join (threshold far from every non-planted pair)
+    "embedding_dups_exact" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_transform(embedding, x -> x * 1.0001) AS embedding
+        |  FROM embeddings
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // exhaustive-regime LSH (one all-corpus bucket) equals brute force,
+    // so the similarity_topk oracle applies verbatim
+    "lsh_topk_exact" ->
       """SELECT query_id, vec_id, rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
         |    row_number() OVER (PARTITION BY q.vec_id

@@ -83,7 +83,9 @@ object Similarity {
     * vector in place; the hyperplane matrix is regenerated
     * deterministically and cached per executor, never shipped. */
   def srpSignature(vec: Column, bits: Int = 16, seed: Long = 42L): Column = {
-    require(bits >= 1 && bits <= 63, s"bits must be in [1,63], got $bits")
+    // bits = 0: constant signature — the exhaustive (single-bucket)
+    // regime in which SRP-bucketed pipelines provably equal brute force
+    require(bits >= 0 && bits <= 63, s"bits must be in [0,63], got $bits")
     column(SrpSignatureExpr(expression(vec), bits, seed))
   }
 

@@ -23,8 +23,12 @@ case class SrpSignatureExpr(child: Expression, bits: Int, seed: Long)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    if (bits < 1 || bits > 63)
-      return TypeCheckResult.TypeCheckFailure(s"$prettyName bits must be in [1,63], got $bits")
+    // bits = 0 is the EXHAUSTIVE regime: the signature is constantly 0,
+    // every vector lands in one bucket, and an LSH pipeline provably
+    // degenerates to all-pairs / brute force — the oracle-checkable
+    // configuration (see embedding_dups_exact / lsh_topk_exact)
+    if (bits < 0 || bits > 63)
+      return TypeCheckResult.TypeCheckFailure(s"$prettyName bits must be in [0,63], got $bits")
     child.dataType match {
       case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
         TypeCheckResult.TypeCheckSuccess
