@@ -641,18 +641,16 @@ object SparkEntry {
 
     // get(key): first value per key, keys probed from a small set.
     // The ordering is TOTAL (linenumber can repeat in the testdata, and a
-    // rank-1 under a partial order would be engine-dependent).
+    // rank-1 under a partial order would be engine-dependent). KvLookup
+    // .getFirst's broadcastProbes=false escape (plan-tested in OpsSpec)
+    // covers probe sets too large to broadcast.
     "kv_get_first" -> ((s, dir) => {
       val li = read(s, dir, "lineitem")
       val probeKeys = read(s, dir, "orders")
         .filter(F.col("o_orderstatus") === "P")
-        .select(F.col("o_orderkey").as("l_orderkey"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("l_orderkey")
-        .orderBy("l_linenumber", "l_partkey", "l_quantity")
-      li.join(F.broadcast(probeKeys), "l_orderkey")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") === 1)
+        .select(F.col("o_orderkey"))
+      graft.ops.KvLookup.getFirst(li, "l_orderkey", probeKeys, "o_orderkey",
+        order = Seq(F.col("l_linenumber"), F.col("l_partkey"), F.col("l_quantity")))
         .select(F.col("l_orderkey"), F.col("l_partkey"), F.col("l_quantity"))
         .orderBy("l_orderkey")
     }),

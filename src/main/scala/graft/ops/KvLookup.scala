@@ -28,6 +28,32 @@ object KvLookup {
   private def hashOf(c: Column, kernel: String, longHash: Boolean): Column =
     if (longHash) graft_hash64(c, kernel) else graft_hash32(c, kernel).cast("long")
 
+  /** `get(key)`: the first table row per probed key under the caller's
+    * TOTAL `order` — the reference's first-value lookup
+    * (`FileOperations2.java` get; RigorousHashFileTestBase.java:74-90
+    * first-value contract). The order must be total, or rank 1 is
+    * engine-dependent.
+    *
+    * `broadcastProbes = true` (default) pins the point-lookup shape: the
+    * probe keys broadcast, the big table never shuffles for the join,
+    * and the per-key window sorts only the semi-joined slice. For probe
+    * sets too large to broadcast — beyond lookup semantics, effectively
+    * a join workload — pass false: the planner/AQE picks SMJ/SHJ from
+    * stats, so a huge probe set degrades to a shuffle instead of OOMing
+    * the driver at collect-to-broadcast time. */
+  def getFirst(table: DataFrame, keyCol: String,
+      probes: DataFrame, probeKeyCol: String,
+      order: Seq[Column], broadcastProbes: Boolean = true): DataFrame = {
+    val probeKeys = probes.select(F.col(probeKeyCol).as(keyCol)).distinct()
+    val probeSide = if (broadcastProbes) F.broadcast(probeKeys) else probeKeys
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(order: _*)
+    table.join(probeSide, keyCol)
+      .withColumn("__rn", F.row_number().over(w))
+      .filter(F.col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** All table rows whose `hash(keyCol)` equals `hash(probeKeyCol)` of
     * any probe row — the associative `getMulti`. The probe side is
     * deduplicated on the hash before broadcast so duplicate probes don't

@@ -93,6 +93,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // see BloomBankContains scaladoc) — the per-task cache is keyed by
     // part id alone so hits never deserialize the binary column again.
     register("bloom_bank_contains", { case Seq(p, s, v) => BloomBankContains(p, s, v) })
+    // misuse-proof variant: cache keyed on (part, sketch-bytes content),
+    // sketch evaluated per row — mixed sketches under one part id each
+    // get their own filter (correct-but-slower instead of silently stale)
+    register("bloom_bank_contains_strict",
+      { case Seq(p, s, v) => BloomBankContains(p, s, v, strict = true) })
     register("top_k_by", {
       case Seq(v, score, k) => TopKByAgg(v, score, litInt(k)).toAggregateExpression()
     })

@@ -307,8 +307,17 @@ case class HhEstimate(left: Expression, right: Expression)
   * touch the binary column), so rows pairing one part id with different
   * sketch bytes — or a null row before a built row — would silently get
   * whichever filter the task saw first.
+  *
+  * `strict = true` (SQL: `bloom_bank_contains_strict`) removes that
+  * foot-gun: the sketch column is evaluated on EVERY row and the cache
+  * keys on (part, murmur64 of the bytes), so rows pairing one part id
+  * with different sketches each get their own filter — misuse degrades
+  * to correct-but-slower (a per-row binary copy + hash) instead of
+  * silently stale. Use it for ad-hoc SQL over hand-built bank tables;
+  * the join-shape fast path remains the default.
   */
-case class BloomBankContains(first: Expression, second: Expression, third: Expression)
+case class BloomBankContains(first: Expression, second: Expression, third: Expression,
+    strict: Boolean = false)
     extends TernaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -322,10 +331,11 @@ case class BloomBankContains(first: Expression, second: Expression, third: Expre
   override def nullable: Boolean = false
   override def prettyName: String = "bloom_bank_contains"
 
-  /** part id -> BloomSketch | Missing; rebuilt per deserialized instance
-    * (per task), which is exactly the join's co-partitioned granularity. */
+  /** fast: part id -> BloomSketch | Missing, rebuilt per deserialized
+    * instance (per task) — exactly the join's co-partitioned
+    * granularity. strict: (part, murmur64(bytes)) -> BloomSketch. */
   @transient private lazy val cache =
-    new java.util.concurrent.ConcurrentHashMap[Int, AnyRef]()
+    new java.util.concurrent.ConcurrentHashMap[Any, AnyRef]()
 
   def cached(part: Int): AnyRef = cache.get(part)
 
@@ -341,15 +351,33 @@ case class BloomBankContains(first: Expression, second: Expression, third: Expre
     case _ => true // unbuilt part: cannot prove absence
   }
 
+  /** Strict path: content-keyed, evaluated per row — immune to mixed
+    * sketches under one part id, at the cost of a per-row binary copy
+    * + hash. */
+  def testStrict(part: Int, bytes: Array[Byte], value: Any): Boolean = {
+    if (bytes == null) return true // unbuilt part: cannot prove absence
+    val key = (part, graft.core.hash.Murmur2Kernel.hash64(bytes))
+    var sk = cache.get(key)
+    if (sk == null) {
+      val loaded: AnyRef = BloomSketch.deserialize(bytes)
+      val prev = cache.putIfAbsent(key, loaded)
+      sk = if (prev != null) prev else loaded
+    }
+    test(sk, value)
+  }
+
   override def eval(input: InternalRow): Any = {
     val p = first.eval(input)
     val v = third.eval(input)
     if (p == null || v == null) false
     else {
       val pid = p.asInstanceOf[Int]
-      var sk = cached(pid)
-      if (sk == null) sk = load(pid, second.eval(input).asInstanceOf[Array[Byte]])
-      test(sk, v)
+      if (strict) testStrict(pid, second.eval(input).asInstanceOf[Array[Byte]], v)
+      else {
+        var sk = cached(pid)
+        if (sk == null) sk = load(pid, second.eval(input).asInstanceOf[Array[Byte]])
+        test(sk, v)
+      }
     }
   }
 
@@ -359,18 +387,30 @@ case class BloomBankContains(first: Expression, second: Expression, third: Expre
     val s = second.genCode(ctx)
     val v = third.genCode(ctx)
     val skVar = ctx.freshName("bankSketch")
-    ev.copy(code = code"""
-      ${p.code}
-      ${v.code}
-      boolean ${ev.value} = false;
-      if (!${p.isNull} && !${v.isNull}) {
-        Object $skVar = $ref.cached(${p.value});
-        if ($skVar == null) {
+    if (strict) {
+      ev.copy(code = code"""
+        ${p.code}
+        ${v.code}
+        boolean ${ev.value} = false;
+        if (!${p.isNull} && !${v.isNull}) {
           ${s.code}
-          $skVar = $ref.load(${p.value}, ${s.isNull} ? null : ${s.value});
-        }
-        ${ev.value} = $ref.test($skVar, ${v.value});
-      }""", isNull = FalseLiteral)
+          ${ev.value} = $ref.testStrict(${p.value},
+            ${s.isNull} ? null : ${s.value}, ${v.value});
+        }""", isNull = FalseLiteral)
+    } else {
+      ev.copy(code = code"""
+        ${p.code}
+        ${v.code}
+        boolean ${ev.value} = false;
+        if (!${p.isNull} && !${v.isNull}) {
+          Object $skVar = $ref.cached(${p.value});
+          if ($skVar == null) {
+            ${s.code}
+            $skVar = $ref.load(${p.value}, ${s.isNull} ? null : ${s.value});
+          }
+          ${ev.value} = $ref.test($skVar, ${v.value});
+        }""", isNull = FalseLiteral)
+    }
   }
 
   override protected def withNewChildrenInternal(

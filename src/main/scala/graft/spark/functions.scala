@@ -142,6 +142,16 @@ object functions {
   def bloom_bank_contains(partId: Column, sketch: Column, value: Column): Column =
     column(BloomBankContains(expression(partId), expression(sketch), expression(value)))
 
+  /** Misuse-proof [[bloom_bank_contains]]: the filter cache keys on
+    * (part, sketch-bytes content), so rows pairing one part id with
+    * DIFFERENT sketches each get their own filter — for ad-hoc SQL over
+    * hand-built bank tables where the one-row-per-part join contract
+    * isn't guaranteed. Costs a per-row binary copy + hash; the join-
+    * shaped fast path should stay on the default. */
+  def bloom_bank_contains_strict(partId: Column, sketch: Column, value: Column): Column =
+    column(BloomBankContains(expression(partId), expression(sketch), expression(value),
+      strict = true))
+
   // ---- bounded top-k (scale-safe ORDER BY score DESC LIMIT k per group) ----
 
   /** Mergeable top-k by score: array<struct<value,score>> best-first,

@@ -661,4 +661,37 @@ class OpsSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"table side must not shuffle:\n$plan")
   }
+
+  test("getFirst: broadcast point-lookup by default; non-broadcast escape picks SMJ/SHJ") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val probes = spark.read.parquet(s"$sf/orders.parquet")
+      .filter($"o_orderstatus" === "P").select($"o_orderkey")
+    val order = Seq($"l_linenumber", $"l_partkey", $"l_quantity")
+
+    val fast = KvLookup.getFirst(li, "l_orderkey", probes, "o_orderkey", order)
+    val fastPlan = fast.queryExecution.executedPlan.toString
+    assert(fastPlan.contains("BroadcastHashJoin"), s"lookup lost broadcast:\n$fastPlan")
+
+    // huge-probe escape: broadcastProbes=false drops the broadcast HINT
+    // and lets stats decide. Emulate "probe set too large to broadcast"
+    // by zeroing the auto-broadcast threshold: the plan must degrade to
+    // a shuffle join, never a driver-side collect+broadcast
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      val big = KvLookup.getFirst(li, "l_orderkey", probes, "o_orderkey", order,
+        broadcastProbes = false)
+      val bigPlan = big.queryExecution.executedPlan.toString
+      assert(bigPlan.contains("SortMergeJoin") || bigPlan.contains("ShuffledHashJoin"),
+        s"non-broadcast variant must shuffle-join:\n$bigPlan")
+      assert(!bigPlan.contains("BroadcastHashJoin"),
+        s"escape hatch must not broadcast:\n$bigPlan")
+
+      // both variants return identical rows (first per key, total order)
+      val cols = Seq("l_orderkey", "l_partkey", "l_quantity")
+      assert(fast.select(cols.map(F.col): _*).collect().toSet ===
+        big.select(cols.map(F.col): _*).collect().toSet)
+    } finally spark.conf.set(thresholdKey, saved)
+  }
 }

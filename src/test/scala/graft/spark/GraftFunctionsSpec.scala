@@ -336,6 +336,33 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(kept === Set((0, "alpha"), (1, "gamma"), (2, "anything")))
   }
 
+  test("bloom_bank_contains_strict: mixed sketches under ONE part id both honored") {
+    def filterFor(keys: Seq[String]): Array[Byte] = {
+      val sk = BloomSketch(1000L, 16)
+      keys.foreach(sk.put)
+      sk.serialize()
+    }
+    // deliberate CONTRACT VIOLATION for the fast path: one part id, two
+    // different filters in the same (single) partition
+    val rows = Seq(
+      (7, filterFor(Seq("alpha")), "alpha"), // in filter A
+      (7, filterFor(Seq("beta")), "beta"), // in filter B
+      (7, filterFor(Seq("alpha")), "beta"), // NOT in filter A
+      (7, filterFor(Seq("beta")), "alpha")) // NOT in filter B
+      .toDF("part", "sk", "key").coalesce(1)
+    val strict = rows.filter(
+      bloom_bank_contains_strict(F.col("part"), F.col("sk"), F.col("key")))
+      .select("key").collect().map(_.getString(0)).toSeq
+    // content-keyed cache: each row tests against ITS OWN sketch
+    assert(strict === Seq("alpha", "beta"))
+    // SQL registration of the strict form
+    rows.createOrReplaceTempView("mixed_bank")
+    val viaSql = spark.sql(
+      "SELECT count(*) FROM mixed_bank WHERE bloom_bank_contains_strict(part, sk, key)")
+      .head().getLong(0)
+    assert(viaSql === 2L)
+  }
+
   test("SQL end-to-end: sketch build + probe via registered functions") {
     (0 until 1000).map(i => s"item$i").toDF("s").createOrReplaceTempView("items")
     val est = spark.sql(
