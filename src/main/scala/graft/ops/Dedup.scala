@@ -152,6 +152,33 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.7): DataFrame = {
+    val (byDoc, cand) = ngramPrefixCandidates(df, idCol, textCol, n, threshold)
+
+    // exact verify for candidates only: both shingle arrays are already
+    // distinct, so |A ∩ B| = size(array_intersect) — no further explosion
+    cand
+      .join(byDoc.select(F.col("__id").as("id_a"), F.col("__toks").as("__ta")), Seq("id_a"))
+      .join(byDoc.select(F.col("__id").as("id_b"), F.col("__toks").as("__tb")), Seq("id_b"))
+      .withColumn("__i", F.size(F.array_intersect(F.col("__ta"), F.col("__tb"))).cast("long"))
+      .withColumn("jaccard", F.col("__i").cast("double") /
+        (F.col("__sza") + F.col("__szb") - F.col("__i")).cast("double"))
+      .filter(F.col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Candidate-generation prefix of [[ngramJaccardPairs]]: the persisted
+    * rarity-ordered per-doc shingle table and the deduplicated candidate
+    * pair set (id_a, id_b, __sza, __szb). `positionalFilter = false`
+    * disables the PPJoin positional prune — it exists so tests can
+    * MEASURE the pruning (fewer candidates, identical verified output),
+    * which is the filter's entire claim. */
+  private[ops] def ngramPrefixCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      positionalFilter: Boolean = true): (DataFrame, DataFrame) = {
     require(n >= 1, "shingle width must be >= 1")
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     // materialize the token array as a COLUMN before shingling —
@@ -215,22 +242,12 @@ object Dedup {
       // number |X| - (p+1) on each side; the overlap can't exceed
       // 1 + min of those, so a pair whose bound misses needOverlap at
       // every shared prefix token can't reach Jaccard t
-      .filter(F.lit(1) + F.least(
+      .filter(!F.lit(positionalFilter) || (F.lit(1) + F.least(
         F.col("__sza") - F.col("__pa") - 1,
-        F.col("__szb") - F.col("__pb") - 1) >= needOverlap)
+        F.col("__szb") - F.col("__pb") - 1) >= needOverlap))
       .select("id_a", "id_b", "__sza", "__szb")
       .dropDuplicates("id_a", "id_b")
-
-    // exact verify for candidates only: both shingle arrays are already
-    // distinct, so |A ∩ B| = size(array_intersect) — no further explosion
-    cand
-      .join(byDoc.select(F.col("__id").as("id_a"), F.col("__toks").as("__ta")), Seq("id_a"))
-      .join(byDoc.select(F.col("__id").as("id_b"), F.col("__toks").as("__tb")), Seq("id_b"))
-      .withColumn("__i", F.size(F.array_intersect(F.col("__ta"), F.col("__tb"))).cast("long"))
-      .withColumn("jaccard", F.col("__i").cast("double") /
-        (F.col("__sza") + F.col("__szb") - F.col("__i")).cast("double"))
-      .filter(F.col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    (byDoc, cand)
   }
 
   /** SimHash near-duplicate pairs: 64-bit signature, candidates matched

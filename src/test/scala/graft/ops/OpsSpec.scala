@@ -565,6 +565,30 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("positional filter prunes candidates at identical verified output") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(F.col("doc_id"), F.col("text"))
+    // thresholds where the prefix filter alone leaves headroom (at 0.7
+    // prefixes are already near-minimal on this corpus); measured here:
+    // t=0.5 prunes ~97%, t=0.25 ~64%
+    for (t <- Seq(0.25, 0.5)) {
+      val without = graft.ops.Dedup
+        .ngramPrefixCandidates(docs, "doc_id", "text", 3, t, positionalFilter = false)
+        ._2.count()
+      val withPos = graft.ops.Dedup
+        .ngramPrefixCandidates(docs, "doc_id", "text", 3, t)
+        ._2.count()
+      // the filter must only ever REMOVE candidates, and on natural-ish
+      // text it must actually remove some (its entire reason to exist)
+      assert(withPos < without,
+        s"t=$t: positional filter pruned nothing ($withPos vs $without)")
+      info(f"t=$t candidates: $without -> $withPos " +
+        f"(${100.0 * (without - withPos) / without}%.1f%% pruned)")
+    }
+    // soundness at equal output is already pinned by the brute-force
+    // equality test above (which runs the positional path at 0.25/0.7)
+  }
+
   test("ngramJaccardPairs finds a planted mutated copy with the exact jaccard") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
