@@ -959,9 +959,14 @@ object SparkEntry {
     // to the SRP family). Cosine is scale-invariant, so the float-vs-
     // double jitter arithmetic between engines cannot move any pair
     // across the wide planted-vs-random threshold margin; the float
-    // cosine itself is excluded from the output (ids only).
+    // cosine itself is excluded from the output (ids only). The regime
+    // is inherently O(n^2), so the check runs over a FIXED 500-vector
+    // slice — a complete end-to-end proof of the bucket-join + verify
+    // machinery that stays ~0.5M pairs at every scale factor (the
+    // production regime srpBits > 0 is the scale path, benchmarked as
+    // embedding_near_dups).
     "embedding_dups_exact" -> ((s, dir) => {
-      val embs = read(s, dir, "embeddings")
+      val embs = read(s, dir, "embeddings").filter(F.col("vec_id") < 500)
       val jittered = embs.select((F.col("vec_id") + 100000).as("vec_id"),
         F.transform(F.col("embedding"), x => x * F.lit(1.0001f)).as("embedding"))
       Dedup.embeddingDupPairs(embs.select(F.col("vec_id"), F.col("embedding"))
@@ -1460,12 +1465,13 @@ object SparkEntry {
     // exhaustive-regime SRP dedup equals the brute-force all-pairs
     // cosine join (threshold far from every non-planted pair)
     "embedding_dups_exact" ->
-      """WITH e AS (
-        |  SELECT vec_id, embedding FROM embeddings
+      """WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+        |e AS (
+        |  SELECT vec_id, embedding FROM b
         |  UNION ALL
         |  SELECT vec_id + 100000 AS vec_id,
         |    list_transform(embedding, x -> x * 1.0001) AS embedding
-        |  FROM embeddings
+        |  FROM b
         |)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM e a JOIN e b ON a.vec_id < b.vec_id

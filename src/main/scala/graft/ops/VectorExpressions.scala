@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -169,4 +169,89 @@ case class IvfCellsExpr(child: Expression, centroids: Array[Array[Double]],
 
   override protected def withNewChildInternal(c: Expression): IvfCellsExpr =
     copy(child = c)
+}
+
+/** `cosine_similarity(a, b)` — exact cosine of two vector columns as a
+  * native codegen'd expression: one tight loop over the columnar
+  * ArrayData. This is the verify/rerank kernel of every similarity path
+  * (brute-force, IVF, SRP-LSH, embedding dedup), and the higher-order-
+  * function formulation it replaces (`zip_with` + `aggregate`) built a
+  * per-row lambda interpreter ~20x slower on 128-dim floats.
+  *
+  * Arithmetic REPRODUCES the higher-order form bit for bit so oracle
+  * rank comparisons are unaffected: per-element products in the input's
+  * own precision (float·float stays a float multiply), accumulated
+  * left-to-right into a double. Null elements contribute nothing; zero
+  * norm yields 0.0.
+  */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    Seq(left.dataType, right.dataType).foreach {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => ()
+      case other => return TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> or array<double>, got ${other.catalogString}")
+    }
+    TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_similarity"
+
+  @transient private lazy val leftFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val rightFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val n = math.min(na, nb)
+    var dot = 0.0
+    var d = 0
+    while (d < n) {
+      if (!a.isNullAt(d) && !b.isNullAt(d)) {
+        if (leftFloat && rightFloat) {
+          dot += a.getFloat(d) * b.getFloat(d) // float multiply, like zip_with
+        } else {
+          dot += (if (leftFloat) a.getFloat(d).toDouble else a.getDouble(d)) *
+            (if (rightFloat) b.getFloat(d).toDouble else b.getDouble(d))
+        }
+      }
+      d += 1
+    }
+    var sa = 0.0
+    d = 0
+    while (d < na) {
+      if (!a.isNullAt(d)) {
+        if (leftFloat) { val x = a.getFloat(d); sa += x * x }
+        else { val x = a.getDouble(d); sa += x * x }
+      }
+      d += 1
+    }
+    var sb = 0.0
+    d = 0
+    while (d < nb) {
+      if (!b.isNullAt(d)) {
+        if (rightFloat) { val x = b.getFloat(d); sb += x * x }
+        else { val x = b.getDouble(d); sb += x * x }
+      }
+      d += 1
+    }
+    val norm = math.sqrt(sa) * math.sqrt(sb)
+    if (norm == 0.0) 0.0 else dot / norm
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cosExpr", this, classOf[CosineSimExpr].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.cosine($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CosineSimExpr = copy(left = l, right = r)
 }

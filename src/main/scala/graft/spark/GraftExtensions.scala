@@ -101,6 +101,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("top_k_by", {
       case Seq(v, score, k) => TopKByAgg(v, score, litInt(k)).toAggregateExpression()
     })
+    register("cosine_similarity",
+      { case Seq(a, b) => graft.ops.CosineSimExpr(a, b) })
     register("srp_signature", {
       case Seq(v, bits) => graft.ops.SrpSignatureExpr(v, litInt(bits), 42L)
       case Seq(v, bits, seed) => graft.ops.SrpSignatureExpr(v, litInt(bits), litLong(seed))
