@@ -1,0 +1,40 @@
+package graft.spark
+
+import graft.SparkEntry
+
+/** Automated physical-plan audit of the ENTIRE driver contract: every
+  * `SparkEntry.queries` entry is built against sf0.001 and its executed
+  * plan checked for the anti-patterns that kill a query at corpus scale.
+  *
+  * - `CartesianProduct` (the non-broadcast all-pairs join) is banned
+  *   outright — even the deliberate brute-force ANN baseline crosses
+  *   against a BROADCAST query set, never a shuffled cartesian.
+  * - `BroadcastNestedLoopJoin` is allowed only where a broadcast cross
+  *   is the documented design (the brute-force ANN baseline); anywhere
+  *   else it means a join lost its equi-join key.
+  *
+  * New queries are audited automatically by construction — the round-3
+  * review did this by hand; this spec makes it a regression gate. */
+class PlanAuditSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Queries whose documented shape is a broadcast cross join. */
+  private val allowBroadcastCross = Set("similarity_topk")
+
+  test("no driver query plans a cartesian; broadcast crosses only where designed") {
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan =
+        try fn(spark, sf).queryExecution.executedPlan.toString
+        catch { case e: Throwable => failures += s"$name failed to plan: $e"; "" }
+      if (plan.contains("CartesianProduct")) {
+        failures += s"$name plans a CartesianProduct"
+      }
+      if (!allowBroadcastCross(name) && plan.contains("BroadcastNestedLoopJoin")) {
+        failures += s"$name plans an unexpected BroadcastNestedLoopJoin"
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
