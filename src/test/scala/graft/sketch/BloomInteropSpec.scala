@@ -1,5 +1,6 @@
 package graft.sketch
 
+import org.apache.spark.sql.{functions => F}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Differential interop: the committed `.blm` fixtures were written by
@@ -48,6 +49,30 @@ class BloomInteropSpec extends AnyFunSuite {
       val key = f"jk$i%05d"
       assert(converted.contains(key) == native.contains(key), key)
     }
+  }
+
+  test("reference-written filter probed through bloom_might_contain end-to-end") {
+    val spark = graft.spark.SparkTestBase.session
+    import spark.implicits._
+    val bytes = {
+      val in = getClass.getResourceAsStream("/interop/ref_murmur_5000x8.blm")
+      try BloomInterop.readFilterState(in).serialize() finally in.close()
+    }
+    // 20k probes routed through the SQL surface against the converted
+    // filter: member acceptance is total, overall accept set equals the
+    // direct probes (identical accept/reject on the whole corpus)
+    val probes = spark.range(20000).select(
+      F.format_string("k%05d", F.col("id")).as("key"))
+    val lit = F.lit(bytes)
+    val accepted = probes
+      .filter(graft.spark.functions.bloom_might_contain(lit, F.col("key")))
+      .select("key").as[String].collect().toSet
+    val direct = {
+      val sk = load("ref_murmur_5000x8.blm")
+      (0 until 20000).map(i => f"k$i%05d").filter(sk.contains).toSet
+    }
+    assert(accepted === direct)
+    assert((0 until 5000).forall(i => accepted(f"k$i%05d")), "member false negative")
   }
 
   test("hostile class names in the stream are rejected") {
