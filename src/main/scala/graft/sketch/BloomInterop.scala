@@ -89,6 +89,68 @@ object BloomInterop {
     try readFilterState(in) finally in.close()
   }
 
+  /** Write `sk` as a `.blm` the reference's `ckblm` loads directly
+    * (`cmd/ckblm.java:38-45`) — the reverse migration. The stream is
+    * produced by serializing the stand-in and splicing the reference's
+    * class name over the stand-in's in the (single) class descriptor;
+    * everything else — field layout, BitSet wire form, handles — is
+    * identical by construction, and the round-trip test proves it by
+    * byte-comparing against a file the COMPILED reference itself wrote
+    * for the same filter content. */
+  def writeFilterState(sk: BloomSketch, out: java.io.OutputStream): Unit = {
+    val refName = KernelByClass.collectFirst {
+      case (cls, k) if k.name == sk.kernel.name => cls
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no reference hash class for kernel '${sk.kernel.name}'"))
+    val fs = new RefFilterState
+    fs.hashName = refName
+    // size-constructed BitSets have a STICKY size: writeObject then
+    // serializes the full allocation (trailing zero words included),
+    // exactly like the reference's live `new BitSet(bitSetLength)`
+    // instances — BitSet.valueOf would trim and diverge from the
+    // reference's wire form
+    fs.state = Array.tabulate(BloomSketch.NumBitSets) { r =>
+      val bs = new java.util.BitSet(sk.bitSetLength)
+      bs.or(java.util.BitSet.valueOf(sk.wordsOfSet(r)))
+      bs
+    }
+    fs.maxSize = sk.maxSize
+    fs.bitSetLength = sk.bitSetLength
+    fs.k = sk.k
+    fs.longHash = sk.longHash
+
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(fs)
+    oos.close()
+    out.write(renameClass(bos.toByteArray,
+      classOf[RefFilterState].getName, RefClassName))
+  }
+
+  def writeFilterStateFile(sk: BloomSketch, path: String): Unit = {
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(path))
+    try writeFilterState(sk, out) finally out.close()
+  }
+
+  /** Splice `to` over the single length-prefixed modified-UTF
+    * occurrence of `from` (the TC_CLASSDESC class name — serialization
+    * frames it with its own 2-byte length, and no enclosing length
+    * field spans a class descriptor, so the splice is safe). */
+  private def renameClass(stream: Array[Byte], from: String, to: String): Array[Byte] = {
+    def utf(s: String): Array[Byte] = {
+      val b = s.getBytes("UTF-8") // both names are ASCII: modified-UTF == UTF-8
+      Array[Byte]((b.length >> 8).toByte, b.length.toByte) ++ b
+    }
+    val needle = utf(from)
+    val idx = stream.indices.indexWhere(i =>
+      i + needle.length <= stream.length &&
+        java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(stream, i, i + needle.length), needle))
+    require(idx >= 0, "stand-in class name not found in serialized stream")
+    java.util.Arrays.copyOfRange(stream, 0, idx) ++ utf(to) ++
+      java.util.Arrays.copyOfRange(stream, idx + needle.length, stream.length)
+  }
+
   private def fromState(fs: RefFilterState): BloomSketch = {
     require(fs.hashName != null && fs.state != null, "corrupt FilterState stream")
     val kernel = KernelByClass.getOrElse(fs.hashName,

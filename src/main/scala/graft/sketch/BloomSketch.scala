@@ -153,6 +153,12 @@ final class BloomSketch private (
   def copy(): BloomSketch =
     new BloomSketch(kernel, maxSize, bitsPerItem, longHash, words.clone())
 
+  /** Word image of one bit set (interop export; [[BloomInterop]]). */
+  private[sketch] def wordsOfSet(radix: Int): Array[Long] = {
+    val wps = wordsPerSet
+    java.util.Arrays.copyOfRange(words, radix * wps, (radix + 1) * wps)
+  }
+
   def approxBitCount: Long = words.map(java.lang.Long.bitCount(_).toLong).sum
 }
 

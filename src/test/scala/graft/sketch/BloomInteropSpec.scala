@@ -75,6 +75,30 @@ class BloomInteropSpec extends AnyFunSuite {
     assert((0 until 5000).forall(i => accepted(f"k$i%05d")), "member false negative")
   }
 
+  test("writer reproduces the reference's own .blm files byte-for-byte") {
+    // read fixture -> BloomSketch -> write: if the writer's wire form is
+    // exactly the reference JVM's, the output IS the input file — the
+    // strongest possible proof that ckblm can load what graft writes
+    for (name <- Seq("ref_murmur_5000x8.blm", "ref_jenkins_2000x9_int.blm")) {
+      val original = {
+        val in = getClass.getResourceAsStream(s"/interop/$name")
+        try in.readAllBytes() finally in.close()
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      BloomInterop.writeFilterState(load(name), bos)
+      assert(java.util.Arrays.equals(bos.toByteArray, original),
+        s"$name: written stream diverges from the reference-written file")
+    }
+    // and the writer's output round-trips through our own reader
+    val native = BloomSketch(512L, 10)
+    (0 until 512).foreach(i => native.put(s"w$i"))
+    val bos = new java.io.ByteArrayOutputStream()
+    BloomInterop.writeFilterState(native, bos)
+    val back = BloomInterop.readFilterState(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    assert(java.util.Arrays.equals(back.serialize(), native.serialize()))
+  }
+
   test("hostile class names in the stream are rejected") {
     // a Java-serialized HashMap: the header is valid serialization, but
     // the class is outside the allowlist — must throw, not instantiate
