@@ -951,6 +951,20 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // near-dup CLUSTERING: exact trigram-Jaccard pairs at t=0.5 fed into
+    // distributed min-label connected components — the step that turns
+    // pairs into dedup groups (similarity is not transitive; a curation
+    // pipeline keeps one representative per component). Exact oracle:
+    // DuckDB computes the same components via a recursive-CTE transitive
+    // closure over the brute-force pair set.
+    "dedup_clusters" -> ((s, dir) => memo("dedup_clusters", s, dir) {
+      val docs = read(s, dir, "documents").select(F.col("doc_id"), F.col("text"))
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("id_a", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "embedding_near_dups" -> ((s, dir) => {
       val embs = read(s, dir, "embeddings")
       val jittered = embs.select((F.col("vec_id") + 100000).as("vec_id"),
@@ -1380,6 +1394,31 @@ object SparkEntry {
         |FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
         |WHERE CAST(i AS DOUBLE) / (sa.s + sb.s - i) >= CAST(0.7 AS DOUBLE)
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // transitive closure over the brute-force trigram-Jaccard pairs at
+    // t=0.5; component = min reachable doc_id
+    "dedup_clusters" ->
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        |idx AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 1, 1))) AS i FROM w),
+        |tg AS (SELECT doc_id, list_element(ws, CAST(i AS INT)) || ' ' ||
+        |              list_element(ws, CAST(i AS INT) + 1) || ' ' ||
+        |              list_element(ws, CAST(i AS INT) + 2) AS sh FROM idx),
+        |t2 AS (SELECT DISTINCT doc_id, sh FROM tg),
+        |sz AS (SELECT doc_id, count(*) AS s FROM t2 GROUP BY 1),
+        |inter AS (SELECT a.doc_id ia, b.doc_id ib, count(*) i
+        |          FROM t2 a JOIN t2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |p AS (SELECT ia, ib FROM inter
+        |      JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+        |      WHERE CAST(i AS DOUBLE) / (sa.s + sb.s - i) >= CAST(0.5 AS DOUBLE)),
+        |e AS (SELECT ia a, ib b FROM p UNION ALL SELECT ib, ia FROM p),
+        |r AS (SELECT a, b FROM e
+        |      UNION
+        |      SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+        |m AS (SELECT a, min(b) AS mb FROM r GROUP BY a)
+        |SELECT a AS doc_id, least(a, mb) AS component
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "streaming_dedup" ->
       """SELECT d.doc_id, d.text FROM documents d

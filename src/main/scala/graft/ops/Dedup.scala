@@ -250,6 +250,77 @@ object Dedup {
     (byDoc, cand)
   }
 
+  /** Connected components over an undirected duplicate-pair list — the
+    * clustering step that turns near-dup PAIRS into dedup GROUPS (a pair
+    * list alone under-merges: near-dup similarity is not transitive, but
+    * a curation pipeline keeps one representative per connected
+    * cluster). Output: (idCol, component) for every id that appears in a
+    * pair, component = the minimum id reachable from it.
+    *
+    * Shape: min-label propagation with POINTER JUMPING — per iteration,
+    * every node adopts min(own label, neighbors' labels), then labels
+    * shortcut through the label graph (comp := comp(comp)), which halves
+    * every chain's depth and makes convergence O(log diameter) instead
+    * of O(diameter) (the pointer-doubling idea behind two-phase CC
+    * algorithms like large-star/small-star). Two shuffles keyed by id
+    * per iteration, no driver-side graph state.
+    *
+    * Each iteration's result is `localCheckpoint`ed: iterative Spark
+    * lineage otherwise GROWS THE PLAN EXPONENTIALLY (each self-join
+    * embeds the previous iteration's tree twice — observed as an OOM
+    * just STRINGIFYING the plan at ~25 iterations), and truncating it
+    * keeps per-iteration planning O(1). Local checkpoints trade executor
+    * fault-tolerance for speed; a production run that must survive
+    * executor loss should set a reliable checkpoint dir and swap in
+    * `checkpoint` — same shape, same cost model.
+    *
+    * Fails loudly if `maxIter` is hit without convergence rather than
+    * returning a half-merged labeling (log convergence makes the default
+    * enough for any component with < 2^20-deep chains). */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(F.col(aCol).as("__src"), F.col(bCol).as("__dst"))
+      .unionAll(pairs.select(F.col(bCol).as("__src"), F.col(aCol).as("__dst")))
+      .dropDuplicates("__src", "__dst")
+      .persist(lvl)
+    var labels = edges.select(F.col("__src").as("__id")).distinct()
+      .withColumn("__comp", F.col("__id"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(F.col("__id").as("__dst"), F.col("__comp")), "__dst")
+        .groupBy(F.col("__src").as("__id"))
+        .agg(F.min("__comp").as("__nmin"))
+      val stepped = labels
+        .select(F.col("__id"), F.col("__comp").as("__old"))
+        .join(neighborMin, Seq("__id"), "left")
+        .select(F.col("__id"), F.col("__old"),
+          F.least(F.col("__old"), F.coalesce(F.col("__nmin"), F.col("__old")))
+            .as("__c1"))
+      // pointer jump: follow the label one hop (labels always point at
+      // node ids, so the self-join is total; left join for safety)
+      val next = stepped
+        .join(stepped.select(F.col("__id").as("__c1"), F.col("__c1").as("__cc")),
+          Seq("__c1"), "left")
+        .select(F.col("__id"),
+          F.coalesce(F.col("__cc"), F.col("__c1")).as("__comp"),
+          F.col("__old"))
+        .localCheckpoint(true)
+      val changed = next.filter(F.col("__comp") < F.col("__old")).count()
+      labels.unpersist(blocking = false)
+      labels = next.drop("__old")
+      converged = changed == 0L
+      it += 1
+    }
+    edges.unpersist(blocking = false)
+    require(converged,
+      s"connectedComponents did not converge within $maxIter iterations")
+    labels.select(F.col("__id").as(aCol), F.col("__comp").as("component"))
+  }
+
   /** SimHash near-duplicate pairs: 64-bit signature, candidates matched
     * on any of 4 x 16-bit bands, verified by Hamming distance <=
     * `maxHamming` via the codegen'd bit_count built-in. */

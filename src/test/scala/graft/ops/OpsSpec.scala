@@ -589,6 +589,38 @@ class OpsSpec extends SparkTestBase {
     // equality test above (which runs the positional path at 0.25/0.7)
   }
 
+  test("connectedComponents equals local union-find on seeded random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(1, 7)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 200
+      // chains + cliques + singles: edges biased to nearby ids so real
+      // multi-hop chains (diameter > 1) exist and propagation must iterate
+      val edges = (0 until 300).map { _ =>
+        val a = rnd.nextInt(n)
+        val b = math.min(n - 1, a + 1 + rnd.nextInt(6))
+        (a.toLong, b.toLong)
+      }.filter { case (a, b) => a != b }
+      // local union-find ground truth
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val expected = nodes.map { id =>
+        // min id in the component restricted to ids that appear in edges
+        val root = find(id.toInt)
+        id -> nodes.filter(x => find(x.toInt) == root).min
+      }.toMap
+      val got = graft.ops.Dedup.connectedComponents(
+        edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
   test("ngramJaccardPairs finds a planted mutated copy with the exact jaccard") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
