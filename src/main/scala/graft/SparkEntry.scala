@@ -901,6 +901,30 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // MULTIPROBE LSH: one table + 6 least-confident-bit probes instead
+    // of 4 tables — the cheap recall knob at corpus scale (fanout lands
+    // on the broadcast query side; the corpus is bucketed once). Same
+    // planted construction as lsh_topk; rows-only (recall >= single-
+    // probe and >= 0.85 of brute force asserted in OpsSpec).
+    "lsh_multiprobe_topk" -> ((s, dir) => {
+      val embs = read(s, dir, "embeddings").select(F.col("vec_id"), F.col("embedding"))
+      val qbase = embs.filter(F.col("vec_id") < 5)
+      val planted = (1 to 3).map { j =>
+        qbase.select((F.col("vec_id") + F.lit(100000L * j)).as("vec_id"),
+          F.transform(F.col("embedding"), (x, i) =>
+            x * (F.lit(1.0f) + F.lit(0.01f * j) *
+              F.when(i % 2 === 0, F.lit(1.0f)).otherwise(F.lit(-1.0f))))
+            .as("embedding"))
+      }.reduce(_ unionAll _)
+      val queries = qbase.select(F.col("vec_id").as("query_id"),
+        F.col("embedding").as("qvec"))
+      Similarity.lshTopK(embs.unionAll(planted), "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 4, bits = 12, tables = 1, nflip = 6)
+        .select(F.col("query_id"), F.col("vec_id"),
+          F.col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // the SAME LSH pipeline in the EXHAUSTIVE regime (bits = 0, one
     // table => every corpus vector shares the query's single bucket):
     // the bucket-local rerank provably sees the whole corpus, so the

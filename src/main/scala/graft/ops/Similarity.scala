@@ -175,27 +175,45 @@ object Similarity {
     if (n == 0) v else v.map(_ / n)
   }
 
+  /** Multiprobe bucket list for one SRP table: the exact signature plus
+    * `nflip` one-bit flips of the least-confident hyperplane sides (the
+    * native codegen'd [[SrpMultiprobeExpr]]). */
+  def srpMultiprobe(vec: Column, bits: Int, seed: Long, nflip: Int): Column =
+    column(SrpMultiprobeExpr(expression(vec), bits, seed, nflip))
+
   /** LSH top-k: candidates share the query's SRP bucket in at least one
     * of `tables` signature tables (rotated seeds), then exact cosine
     * rerank within candidates. Recall rises with tables; cost stays
-    * bucket-local. */
+    * bucket-local.
+    *
+    * `nflip > 0` turns on MULTIPROBE (Lv et al. VLDB'07): each query
+    * additionally probes the `nflip` neighboring buckets reached by
+    * flipping its least-confident signature bits. This buys most of the
+    * recall of extra tables WITHOUT re-bucketing the corpus — the fanout
+    * lands entirely on the (small, broadcast) query side, so at corpus
+    * scale multiprobe is the cheap recall knob and `tables` the
+    * expensive one. */
   def lshTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, bits: Int = 12, tables: Int = 4): DataFrame = {
-    def signatures(df: DataFrame, vecCol: String, as: String): DataFrame =
-      df.withColumn(as, F.array((0 until tables).map(t =>
-        srpSignature(F.col(vecCol), bits, 42L + t)): _*))
-        .withColumn("__table", F.explode(F.sequence(F.lit(0), F.lit(tables - 1))))
-        .withColumn("__bucket", F.element_at(F.col(as), F.col("__table") + 1))
-        .drop(as)
+      k: Int, bits: Int = 12, tables: Int = 4, nflip: Int = 0): DataFrame = {
+    val c = corpus
+      .withColumn("__sigs", F.array((0 until tables).map(t =>
+        srpSignature(F.col(corpusVec), bits, 42L + t)): _*))
+      .withColumn("__table", F.explode(F.sequence(F.lit(0), F.lit(tables - 1))))
+      .withColumn("__bucket", F.element_at(F.col("__sigs"), F.col("__table") + 1))
+      .select(F.col("__table"), F.col("__bucket"), F.col(corpusId), F.col(corpusVec))
 
-    val c = signatures(corpus, corpusVec, "__sigs")
-      .select(F.col("__table"), F.col("__bucket"),
-        F.col(corpusId), F.col(corpusVec))
-    val q = signatures(F.broadcast(queries), queryVec, "__sigs")
-      .select(F.col("__table"), F.col("__bucket"),
-        F.col(queryId), F.col(queryVec))
+    // query side: per table, explode the multiprobe bucket list (exact
+    // bucket first, then the nflip perturbations)
+    val q = F.broadcast(queries)
+      .withColumn("__probes", F.array((0 until tables).map(t =>
+        (if (nflip == 0) F.array(srpSignature(F.col(queryVec), bits, 42L + t))
+         else srpMultiprobe(F.col(queryVec), bits, 42L + t, nflip))): _*))
+      .withColumn("__table", F.explode(F.sequence(F.lit(0), F.lit(tables - 1))))
+      .withColumn("__bucket",
+        F.explode(F.element_at(F.col("__probes"), F.col("__table") + 1)))
+      .select(F.col("__table"), F.col("__bucket"), F.col(queryId), F.col(queryVec))
 
     val candidates = c.join(q, Seq("__table", "__bucket"))
       .dropDuplicates(queryId, corpusId)

@@ -255,3 +255,89 @@ case class CosineSimExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): CosineSimExpr = copy(left = l, right = r)
 }
+
+/** `srp_multiprobe(vec, bits, seed, nflip)` — multiprobe SRP bucket list
+  * (Lv et al. VLDB'07 applied to sign-random-projection): the exact
+  * signature first, then `nflip` one-bit perturbations flipping the
+  * LEAST-CONFIDENT hyperplane sides (smallest |projection| — the bits a
+  * true near neighbor most likely differs in). Probing these buckets
+  * buys the recall of extra hash tables without building them: the
+  * corpus is bucketed ONCE per table, only the (small, broadcast) query
+  * side fans out.
+  */
+case class SrpMultiprobeExpr(child: Expression, bits: Int, seed: Long, nflip: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (bits < 1 || bits > 63)
+      return TypeCheckResult.TypeCheckFailure(s"$prettyName bits must be in [1,63], got $bits")
+    if (nflip < 0 || nflip > bits)
+      return TypeCheckResult.TypeCheckFailure(
+        s"$prettyName nflip must be in [0,$bits], got $nflip")
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> or array<double>, got ${other.catalogString}")
+    }
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "srp_multiprobe"
+
+  @transient private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  def probes(arr: ArrayData): ArrayData = {
+    val dims = arr.numElements()
+    val planes = SrpPlanes.get(seed, bits, dims)
+    val dots = new Array[Double](bits)
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      val row = planes(b)
+      var dot = 0.0
+      var d = 0
+      while (d < dims) {
+        if (!arr.isNullAt(d)) {
+          dot += row(d) * (if (isFloat) arr.getFloat(d) else arr.getDouble(d))
+        }
+        d += 1
+      }
+      dots(b) = math.abs(dot)
+      if (dot >= 0) sig |= (1L << b)
+      b += 1
+    }
+    val out = new Array[Long](1 + nflip)
+    out(0) = sig
+    // partial selection of the nflip smallest |dot| bits (ties by bit
+    // index): nflip is small, O(bits * nflip) beats a sort
+    val taken = new Array[Boolean](bits)
+    var s = 0
+    while (s < nflip) {
+      var best = -1
+      var bestAbs = Double.PositiveInfinity
+      var i = 0
+      while (i < bits) {
+        if (!taken(i) && dots(i) < bestAbs) { best = i; bestAbs = dots(i) }
+        i += 1
+      }
+      if (best == -1) { var j = 0; while (taken(j)) j += 1; best = j }
+      taken(best) = true
+      out(s + 1) = sig ^ (1L << best)
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any): Any = probes(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mpExpr", this, classOf[SrpMultiprobeExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.probes($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): SrpMultiprobeExpr =
+    copy(child = c)
+}

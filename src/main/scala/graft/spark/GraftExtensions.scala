@@ -107,6 +107,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(v, bits) => graft.ops.SrpSignatureExpr(v, litInt(bits), 42L)
       case Seq(v, bits, seed) => graft.ops.SrpSignatureExpr(v, litInt(bits), litLong(seed))
     })
+    register("srp_multiprobe", {
+      case Seq(v, bits, seed, nflip) =>
+        graft.ops.SrpMultiprobeExpr(v, litInt(bits), litLong(seed), litInt(nflip))
+    })
     register("hll_sketch", {
       case Seq(c) => HllAgg(c, 14).toAggregateExpression()
       case Seq(c, p) => HllAgg(c, litInt(p)).toAggregateExpression()

@@ -456,6 +456,53 @@ class OpsSpec extends SparkTestBase {
     assert(bf.count { case (q, v) => v == q || v % 100000 == q } >= 18)
   }
 
+  test("multiprobe: flips least-confident bits; recall at 1 table beats single-probe") {
+    import spark.implicits._
+    // expression math vs local recomputation
+    val vec = Array.tabulate(16)(i => (math.sin(i + 1) * 2).toFloat)
+    val bits = 12
+    val probes = Seq(Tuple1(vec)).toDF("v")
+      .select(Similarity.srpMultiprobe(F.col("v"), bits, 42L, 4).as("p"))
+      .head().getSeq[Long](0)
+    val dots = (0 until bits).map(b =>
+      (0 until 16).map(d => Similarity.gaussian(42L, b, d) * vec(d)).sum)
+    val sig = dots.zipWithIndex.filter(_._1 >= 0).map(p => 1L << p._2).sum
+    assert(probes.head === sig, "exact signature first")
+    val flipOrder = dots.map(math.abs).zipWithIndex.sortBy(p => (p._1, p._2)).map(_._2)
+    assert(probes.tail === flipOrder.take(4).map(b => sig ^ (1L << b)),
+      "flips the least-|projection| bits in confidence order")
+    assert(probes.distinct.size === 5)
+
+    // recall: same planted construction as the lsh test, ONE table —
+    // multiprobe must retrieve a strict superset of single-probe (its
+    // first probe IS the single-probe bucket) and find more of the
+    // brute-force truth
+    val qbase = embs.filter($"vec_id" < 5).select($"vec_id", $"embedding")
+    val planted = (1 to 3).map { j =>
+      qbase.select(($"vec_id" + F.lit(100000L * j)).as("vec_id"),
+        F.transform($"embedding", (x, i) =>
+          x * (F.lit(1.0f) + F.lit(0.01f * j) *
+            F.when(i % 2 === 0, F.lit(1.0f)).otherwise(F.lit(-1.0f))))
+          .as("embedding"))
+    }.reduce(_ unionAll _)
+    val corpus = embs.select($"vec_id", $"embedding").unionAll(planted)
+    val queries = qbase.select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 4))
+    val single = pairs(Similarity.lshTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 4, bits = 12, tables = 1))
+    val multi = pairs(Similarity.lshTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 4, bits = 12, tables = 1, nflip = 6))
+    def recall(got: Set[(Long, Long)]): Double =
+      bf.intersect(got).size.toDouble / bf.size
+    assert(recall(multi) >= recall(single),
+      s"multiprobe recall ${recall(multi)} < single ${recall(single)}")
+    assert(recall(multi) >= 0.85, s"multiprobe recall = ${recall(multi)}")
+  }
+
   test("bloom semi/anti joins are exact vs plain joins; prefilter is in the plan") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val parts = spark.read.parquet(s"$sf/part.parquet").filter($"p_size" <= 5)
