@@ -796,6 +796,47 @@ object SparkEntry {
       s.table(name).select(F.col("doc_id"), F.col("text")).orderBy("doc_id")
     }),
 
+    // STREAMING dedup with Bloom-bank STATE COMPACTION: epoch 1 (the
+    // documents table) is snapshotted into a partitioned Bloom bank; the
+    // live stream (every epoch-1 text re-submitted under new ids, plus
+    // genuinely new marked texts) is prefiltered by a routed stream-
+    // static bank join before the stateful stage, so state only carries
+    // the new epoch. Exact oracle in the FP-free regime (verified
+    // deterministic at both SFs): seen docs can never re-emit (no false
+    // negatives), so the output is exactly the new texts, min id each.
+    "streaming_dedup_compacted" -> ((s, dir) => memo("streaming_dedup_compacted", s, dir) {
+      val epoch1 = read(s, dir, "documents").select(F.col("doc_id"), F.col("text"))
+      val bank = graft.ops.StreamingDedup
+        .seenBank(epoch1, "text", nParts = 8, maxSizePerPart = 2048)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      bank.count() // materialize once; the stream-static join reuses it
+      val staged = stagingDir("graft_sdc_in")
+      val docs = read(s, dir, "documents")
+      docs.select((F.col("doc_id") + 200000L).as("doc_id"), F.col("text"))
+        .unionByName(docs.select((F.col("doc_id") + 300000L).as("doc_id"),
+          F.concat(F.col("text"), F.lit(" fresh marker")).as("text")))
+        .coalesce(1).write.mode("overwrite").parquet(staged.toString)
+      val schema = s.read.parquet(staged.toString).schema
+      val stream = s.readStream.schema(schema).parquet(staged.toString)
+      val name = s"sdc_out_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q =
+        try {
+          graft.ops.StreamingDedup.firstSeenCompacted(
+              stream.select(F.col("doc_id"), F.col("text")),
+              "doc_id", "text", bank, nParts = 8)
+            .writeStream
+            .outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      q.awaitTermination()
+      s.table(name).select(F.col("doc_id"), F.col("text")).orderBy("doc_id")
+    }),
+
     // quality scoring: deterministic arithmetic, exact DuckDB oracle
     "text_quality" -> ((s, dir) => {
       TextAnalysis.qualityScore(read(s, dir, "documents"), "text")
@@ -1443,6 +1484,14 @@ object SparkEntry {
         |m AS (SELECT a, min(b) AS mb FROM r GROUP BY a)
         |SELECT a AS doc_id, least(a, mb) AS component
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // bank holds every epoch-1 text; the stream's 200000-shifted rows are
+    // all true positives (dropped), the 300000-shifted marked texts are
+    // new (kept, min id per distinct text) — exact in the FP-free regime
+    "streaming_dedup_compacted" ->
+      """SELECT min(doc_id) + 300000 AS doc_id,
+        |  text || ' fresh marker' AS text
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
 
     "streaming_dedup" ->
       """SELECT d.doc_id, d.text FROM documents d

@@ -34,6 +34,51 @@ object StreamingDedup {
     * hash-keyed group in this engine accepts. */
   private val NullTextSentinel: Long = 0x6e756c6c2d746578L // "null-tex"
 
+  /** The state-compaction companion to [[firstSeen]]: a partitioned
+    * Bloom bank (one filter per hash-range part) over the content hashes
+    * of an ALREADY-SEEN corpus. Snapshot past epochs into this bank,
+    * drop their entries from the state store, and pre-filter the live
+    * stream with [[firstSeenCompacted]] — state then carries only the
+    * current epoch's novel hashes instead of the corpus's full history. */
+  def seenBank(seen: DataFrame, textCol: String,
+      nParts: Int, maxSizePerPart: Long, bitsPerItem: Int = 16): DataFrame = {
+    import graft.spark.functions.bloom_sketch
+    seen
+      .select(F.coalesce(murmur64(F.col(textCol)), F.lit(NullTextSentinel)).as("__h"))
+      .withColumn("__part", F.pmod(F.col("__h"), F.lit(nParts.toLong)).cast("int"))
+      .groupBy("__part")
+      .agg(bloom_sketch(F.col("__h"), maxSizePerPart, bitsPerItem).as("__bloom"))
+  }
+
+  /** [[firstSeen]] behind a Bloom-bank prefilter — the compaction path
+    * the scale note describes. Rows whose content hash the bank contains
+    * are dropped BEFORE the stateful stage (a stream-static join routed
+    * on the bank's hash-range part, the `probeBank` shape), so the state
+    * store never re-accumulates past epochs' hashes.
+    *
+    * Approximation contract, stated precisely: the bank has no false
+    * negatives, so a document seen in a snapshot epoch can NEVER be
+    * re-emitted; a Bloom false positive drops a genuinely new document,
+    * at most at the bank's configured FPR. For training-data dedup that
+    * trade (lose ~FPR of novel docs, bound state by the current epoch)
+    * is the standard one; pipelines that cannot lose any novel document
+    * keep the exact [[firstSeen]] and its O(all-distinct) state. */
+  def firstSeenCompacted(df: DataFrame, idCol: String, textCol: String,
+      bank: DataFrame, nParts: Int): DataFrame = {
+    import graft.spark.functions.bloom_bank_contains
+    val routed = df
+      .withColumn("__h",
+        F.coalesce(murmur64(F.col(textCol)), F.lit(NullTextSentinel)))
+      .withColumn("__part", F.pmod(F.col("__h"), F.lit(nParts.toLong)).cast("int"))
+    val joined = routed.join(
+      bank.select(F.col("__part"), F.col("__bloom")).hint("SHUFFLE_HASH"),
+      Seq("__part"), "left")
+    val fresh = joined
+      .filter(!bloom_bank_contains(F.col("__part"), F.col("__bloom"), F.col("__h")))
+      .drop("__part", "__bloom", "__h")
+    firstSeen(fresh, idCol, textCol)
+  }
+
   /** Append-mode transform for a streaming DataFrame with a long id
     * column and a string text column: keeps first-seen texts only.
     * Null-id rows are dropped (nothing to emit for them); null-text rows
