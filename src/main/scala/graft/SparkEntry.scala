@@ -796,6 +796,31 @@ object SparkEntry {
       s.table(name).select(F.col("doc_id"), F.col("text")).orderBy("doc_id")
     }),
 
+    // SKETCH-DRIVEN curation: the length filter's thresholds come FROM
+    // the engine's own KLL sketch (p5/p95 of the token count) instead of
+    // hand-set constants — the standard "profile, then filter" loop, one
+    // aggregation pass + one filtered rollup. Exact oracle via the
+    // no-compaction KLL regime (k=8192 >= corpus size): quantile(q) is
+    // the order statistic at rank ceil(q*n), which DuckDB reproduces.
+    // The 1-row threshold broadcast is the one deliberate tiny-side
+    // cross join beyond the ANN baseline (PlanAudit whitelist).
+    "pipeline_length_filter" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+        .select(F.col("doc_id"), F.col("lang"),
+          TextAnalysis.token_count(F.col("text")).as("n_tokens"))
+      val th = docs
+        .agg(kll_sketch(F.col("n_tokens").cast("double"), 8192).as("sk"))
+        .select(kll_quantile(F.col("sk"), F.lit(0.05)).as("__lo"),
+          kll_quantile(F.col("sk"), F.lit(0.95)).as("__hi"))
+      docs.crossJoin(F.broadcast(th))
+        .filter(F.col("n_tokens").cast("double") >= F.col("__lo") &&
+          F.col("n_tokens").cast("double") <= F.col("__hi"))
+        .groupBy(F.col("lang"))
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum(F.col("n_tokens").cast("long")).as("total_tokens"))
+        .orderBy("lang")
+    }),
+
     // STREAMING dedup with Bloom-bank STATE COMPACTION: epoch 1 (the
     // documents table) is snapshotted into a partitioned Bloom bank; the
     // live stream (every epoch-1 text re-submitted under new ids, plus
@@ -1484,6 +1509,33 @@ object SparkEntry {
         |m AS (SELECT a, min(b) AS mb FROM r GROUP BY a)
         |SELECT a AS doc_id, least(a, mb) AS component
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // thresholds = rank-ceil(q*n) order statistics of the token count
+    // (the engine's no-compaction KLL quantile definition)
+    "pipeline_length_filter" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents
+        |), r AS (
+        |  SELECT n_tokens,
+        |    row_number() OVER (ORDER BY n_tokens) AS rn,
+        |    count(*) OVER () AS cnt
+        |  FROM f
+        |), th AS (
+        |  SELECT
+        |    max(CASE WHEN rn = CAST(ceil(CAST(0.05 AS DOUBLE) * cnt) AS BIGINT)
+        |             THEN n_tokens END) AS lo,
+        |    max(CASE WHEN rn = CAST(ceil(CAST(0.95 AS DOUBLE) * cnt) AS BIGINT)
+        |             THEN n_tokens END) AS hi
+        |  FROM r
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM f, th
+        |WHERE n_tokens >= lo AND n_tokens <= hi
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // bank holds every epoch-1 text; the stream's 200000-shifted rows are
     // all true positives (dropped), the 300000-shifted marked texts are

@@ -19,8 +19,10 @@ class PlanAuditSpec extends SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
-  /** Queries whose documented shape is a broadcast cross join. */
-  private val allowBroadcastCross = Set("similarity_topk")
+  /** Queries whose documented shape is a broadcast cross join: the
+    * brute-force ANN baseline, and the 1-row sketch-threshold broadcast
+    * of the KLL-driven length filter. */
+  private val allowBroadcastCross = Set("similarity_topk", "pipeline_length_filter")
 
   test("no driver query plans a cartesian; broadcast crosses only where designed") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()
