@@ -237,4 +237,67 @@ class EdgeCasesSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       graft.ops.Multimodal.generatePngAssets(spark, 4, 0))
   }
+
+  test("leftAsOf: a matched build row's legitimate NULL payload is returned verbatim") {
+    import spark.implicits._
+    // build row at ts=5 carries val=null, aux=2; per-column forward-fill
+    // would resurrect ts=1's val="a" while taking ts=5's aux — the struct
+    // fill must return the MATCHED ROW verbatim, nulls included
+    val probe = Seq(("k", 6L, "p1")).toDF("key", "ts", "probe_tag")
+    val build = Seq(
+      ("k", 1L, Option("a"), 1L),
+      ("k", 5L, Option.empty[String], 2L)).toDF("key", "ts", "v", "aux")
+    val out = graft.ops.AsOfJoin.leftAsOf(probe, build, "key", "ts")
+      .select("key", "ts", "probe_tag", "v", "aux").collect()
+    assert(out.length === 1)
+    assert(out(0).isNullAt(3), s"null payload resurrected: ${out(0)}")
+    assert(out(0).getLong(4) === 2L)
+  }
+
+  test("ivf_cells: NaN vector elements degrade deterministically, never crash") {
+    import spark.implicits._
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(-1.0, 0.0))
+    val df = Seq(
+      (1L, Array(Float.NaN, 1.0f)), // NaN poisons every dot
+      (2L, Array(0.9f, 0.1f))).toDF("id", "v")
+    val got = df.select(F.col("id"),
+      graft.ops.Similarity.ivfCells(F.col("v"), cents, 2).as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // all-NaN dots: falls back to first untaken indices, in order
+    assert(got(1L) === Seq(0, 1))
+    assert(got(2L).head === 0) // clean vector ranks normally
+  }
+
+  test("weightedSample accepts raw SIGNED hashes without silently dropping rows") {
+    import spark.implicits._
+    // raw murmur32 values are signed; pre-fix, negative hashes produced
+    // u < 0 -> pow NaN -> rows silently vanished from the sample
+    val df = (1 to 40).map(i => ("s", i.toLong)).toDF("stratum", "id")
+    val sampled = graft.ops.Sampling.weightedSample(df, "stratum", "id",
+      F.lit(1.0), graft_hash32(F.col("id")).cast("long"), k = 40)
+      .collect()
+    assert(sampled.length === 40, s"signed hashes dropped ${40 - sampled.length} rows")
+  }
+
+  test("cosine_similarity edges: zero norm, empty arrays, null elements, mixed types") {
+    import spark.implicits._
+    val z = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .select(graft.ops.Similarity.cosine(F.col("a"), F.col("b"))).head().getDouble(0)
+    assert(z === 0.0)
+    val e = Seq((Array.empty[Float], Array.empty[Float])).toDF("a", "b")
+      .select(graft.ops.Similarity.cosine(F.col("a"), F.col("b"))).head().getDouble(0)
+    assert(e === 0.0)
+    // null elements contribute nothing (array<float> with nulls)
+    val n = spark.sql(
+      """SELECT cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)),
+        |                         array(CAST(1.0 AS FLOAT), CAST(5.0 AS FLOAT)))""".stripMargin)
+      .head().getDouble(0)
+    assert(math.abs(n - 1.0 / math.sqrt(26.0)) < 1e-12)
+    // float x double arrays agree with double math
+    val m = spark.sql(
+      """SELECT cosine_similarity(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)),
+        |                         array(CAST(4.0 AS DOUBLE), CAST(3.0 AS DOUBLE)))""".stripMargin)
+      .head().getDouble(0)
+    assert(math.abs(m - 24.0 / 25.0) < 1e-12)
+  }
 }
