@@ -796,6 +796,15 @@ object SparkEntry {
       s.table(name).select(F.col("doc_id"), F.col("text")).orderBy("doc_id")
     }),
 
+    // keyword extraction: per-doc top-3 terms by rarity-weighted
+    // frequency (tf/df), ranked through the mergeable top_k_by k-heap —
+    // exact oracle (integer counts, IEEE division, term tie-break)
+    "doc_top_terms" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      TextAnalysis.topTermsByRarity(docs, "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")
+    }),
+
     // SKETCH-DRIVEN curation: the length filter's thresholds come FROM
     // the engine's own KLL sketch (p5/p95 of the token count) instead of
     // hand-set constants — the standard "profile, then filter" loop, one
@@ -1509,6 +1518,19 @@ object SparkEntry {
         |m AS (SELECT a, min(b) AS mb FROM r GROUP BY a)
         |SELECT a AS doc_id, least(a, mb) AS component
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "doc_top_terms" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |t AS (SELECT doc_id, term, count(*) AS tf FROM w WHERE term <> '' GROUP BY 1, 2),
+        |d AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
+        |s AS (SELECT doc_id, t.term, CAST(tf AS DOUBLE) / df AS score
+        |      FROM t JOIN d ON t.term = d.term),
+        |r AS (SELECT doc_id, term,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY score DESC, term) AS rank
+        |      FROM s)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     // thresholds = rank-ceil(q*n) order statistics of the token count
     // (the engine's no-compaction KLL quantile definition)

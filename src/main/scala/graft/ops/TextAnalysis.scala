@@ -32,6 +32,37 @@ object TextAnalysis {
         (acc, w) => acc + F.ceil(F.length(w) / F.lit(4.0)).cast("int")))
   }
 
+  /** Per-document top-k terms by RARITY-WEIGHTED term frequency
+    * (score = tf/df — the linear tf-idf variant; pure IEEE division of
+    * integer counts, so a SQL oracle reproduces the ranking bit-for-bit,
+    * where a log idf would hang the ordering on transcendental-function
+    * parity between engines): the cheap keyword-extraction signal of a
+    * curation pipeline. Two aggregations (term frequency per
+    * doc, document frequency per term), one shuffle join on the term,
+    * and the mergeable `top_k_by` k-heap per document — never a global
+    * window over the whole term-doc matrix. Output: (idCol, rank, term),
+    * ties broken by ascending term. */
+  def topTermsByRarity(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    import graft.spark.functions.top_k_by
+    require(k >= 1, "k must be >= 1")
+    val toks = df
+      .select(F.col(idCol), F.explode(F.split(F.col(textCol), " ")).as("__term"))
+      .filter(F.col("__term") =!= "")
+    val tf = toks.groupBy(F.col(idCol), F.col("__term"))
+      .agg(F.count(F.lit(1)).as("__tf"))
+    // (doc, term) rows are distinct in tf, so df(term) = count(*)
+    val dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).as("__df"))
+    tf.join(dfreq, "__term")
+      .select(F.col(idCol), F.col("__term"),
+        (F.col("__tf").cast("double") / F.col("__df").cast("double")).as("__score"))
+      .groupBy(F.col(idCol))
+      .agg(top_k_by(F.col("__term"), F.col("__score"), k).as("__topk"))
+      .select(F.col(idCol), F.posexplode(F.col("__topk")).as(Seq("__pos", "__e")))
+      .select(F.col(idCol), (F.col("__pos") + 1).cast("long").as("rank"),
+        F.col("__e.value").as("term"))
+  }
+
   /** Quality features per document: the classic curation signals, all
     * exact arithmetic (SQL-expressible in both Spark and DuckDB). */
   def withQualityFeatures(df: DataFrame, textCol: String): DataFrame = {
