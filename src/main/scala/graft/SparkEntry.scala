@@ -796,6 +796,27 @@ object SparkEntry {
       s.table(name).select(F.col("doc_id"), F.col("text")).orderBy("doc_id")
     }),
 
+    // INTERVAL (range) join, bucketized: 360 deterministic overlapping
+    // windows (1-5h long, every 2h) joined to January's events on epoch
+    // seconds through a 2h-bucket EQUI-join + exact containment — the
+    // naive non-equi formulation is a nested-loop scan Spark cannot
+    // shuffle-partition. Exact oracle via DuckDB's native inequality
+    // join; both engines floor fractional-second timestamps identically.
+    "range_join_events" -> ((s, dir) => {
+      val base = 1704067200L // 2024-01-01T00:00:00Z, the events epoch
+      val iv = s.range(360).select(F.col("id").as("w_id"),
+        (F.lit(base) + F.col("id") * 7200L).as("w_start"),
+        (F.lit(base) + F.col("id") * 7200L +
+          (F.col("id") % 5 + 1) * 3600L).as("w_end"))
+      val ev = read(s, dir, "events")
+        .select(F.col("ts").cast("timestamp").cast("long").as("ets"))
+      graft.ops.RangeJoin.intervalJoin(ev, "ets", iv, "w_start", "w_end",
+        bucketWidth = 7200L)
+        .groupBy(F.col("w_id"))
+        .agg(F.count(F.lit(1)).as("n_events"))
+        .orderBy("w_id")
+    }),
+
     // keyword extraction: per-doc top-3 terms by rarity-weighted
     // frequency (tf/df), ranked through the mergeable top_k_by k-heap —
     // exact oracle (integer counts, IEEE division, term tie-break)
@@ -1518,6 +1539,20 @@ object SparkEntry {
         |m AS (SELECT a, min(b) AS mb FROM r GROUP BY a)
         |SELECT a AS doc_id, least(a, mb) AS component
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // DuckDB's native inequality join over the same synthesized windows
+    "range_join_events" ->
+      """WITH iv AS (
+        |  SELECT i AS w_id,
+        |    1704067200 + i * 7200 AS w_start,
+        |    1704067200 + i * 7200 + (i % 5 + 1) * 3600 AS w_end
+        |  FROM generate_series(0, 359) t(i)
+        |)
+        |SELECT w_id, count(*) AS n_events
+        |FROM events ev JOIN iv
+        |  ON CAST(floor(epoch(ev.ts)) AS BIGINT) >= w_start
+        | AND CAST(floor(epoch(ev.ts)) AS BIGINT) < w_end
+        |GROUP BY w_id ORDER BY w_id""".stripMargin,
 
     "doc_top_terms" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -456,6 +456,33 @@ class OpsSpec extends SparkTestBase {
     assert(bf.count { case (q, v) => v == q || v % 100000 == q } >= 18)
   }
 
+  test("intervalJoin equals the naive non-equi join; plans an equi-join, not a loop") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(F.col("event_id"), F.col("ts").cast("timestamp").cast("long").as("ets"))
+    val base = 1704067200L
+    val iv = spark.range(100).select(F.col("id").as("w_id"),
+      (F.lit(base) + F.col("id") * 7200L).as("s"),
+      (F.lit(base) + F.col("id") * 7200L + (F.col("id") % 5 + 1) * 3600L).as("e"))
+    val bucketized = graft.ops.RangeJoin.intervalJoin(ev, "ets", iv, "s", "e", 7200L)
+    val naive = ev.join(iv, F.col("ets") >= F.col("s") && F.col("ets") < F.col("e"))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("event_id", "w_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(bucketized) === pairs(naive))
+    assert(pairs(bucketized).nonEmpty)
+    val plan = bucketized.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"bucketized interval join lost its equi-join shape:\n$plan")
+
+    // boundary semantics [s, e) and the empty-interval guard
+    val pts = Seq((1L, 10L), (2L, 19L), (3L, 20L)).toDF("pid", "t")
+    val ivs = Seq((7L, 10L, 20L), (8L, 30L, 30L)).toDF("iid", "is", "ie")
+    val got = graft.ops.RangeJoin.intervalJoin(pts, "t", ivs, "is", "ie", 16L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 7L), (2L, 7L))) // t=20 excluded (half-open); empty interval matches nothing
+  }
+
   test("multiprobe: flips least-confident bits; recall at 1 table beats single-probe") {
     import spark.implicits._
     // expression math vs local recomputation
