@@ -796,6 +796,25 @@ object SparkEntry {
       s.table(name).select(F.col("doc_id"), F.col("text")).orderBy("doc_id")
     }),
 
+    // kll_histogram in the EXACT regime (k >= every group: no
+    // compaction, so min/max are true extremes and bin counts are exact
+    // rank differences over the equal-width edges) — DuckDB reproduces
+    // the bins with the same IEEE edge arithmetic. Empty bins are
+    // emitted on both sides; the profiling primitive under oracle.
+    "kll_histogram_exact" -> ((s, dir) => {
+      val sk = read(s, dir, "lineitem")
+        .groupBy(F.col("l_suppkey"))
+        .agg(kll_sketch(F.col("l_quantity").cast("double"), 8192).as("sk"))
+      sk.select(F.col("l_suppkey"),
+          F.posexplode(kll_histogram(F.col("sk"), F.lit(4))).as(Seq("__p", "__b")))
+        .select(F.col("l_suppkey"),
+          (F.col("__p") + 1).cast("long").as("bin"),
+          F.col("__b.lo").as("bin_lo"),
+          F.col("__b.hi").as("bin_hi"),
+          F.col("__b.cnt").as("cnt"))
+        .orderBy("l_suppkey", "bin")
+    }),
+
     // INTERVAL (range) join, bucketized: 360 deterministic overlapping
     // windows (1-5h long, every 2h) joined to January's events on epoch
     // seconds through a 2h-bucket EQUI-join + exact containment — the
@@ -1539,6 +1558,29 @@ object SparkEntry {
         |m AS (SELECT a, min(b) AS mb FROM r GROUP BY a)
         |SELECT a AS doc_id, least(a, mb) AS component
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // same equal-width edges (lo + width*b, width = (hi-lo)/4) and the
+    // same (h_{b-1}, h_b] bin membership as the sketch's rank differences
+    "kll_histogram_exact" ->
+      """WITH g AS (SELECT l_suppkey, CAST(l_quantity AS DOUBLE) AS v FROM lineitem),
+        |s AS (SELECT l_suppkey, min(v) AS lo, max(v) AS hi FROM g GROUP BY 1),
+        |w AS (SELECT *, (hi - lo) / 4 AS width FROM s),
+        |bins AS (SELECT l_suppkey, lo, hi, width, unnest(range(1, 5)) AS bin FROM w),
+        |edges AS (SELECT l_suppkey, bin,
+        |    lo + width * (bin - 1) AS bin_lo,
+        |    CASE WHEN bin = 4 THEN hi ELSE lo + width * bin END AS bin_hi
+        |  FROM bins),
+        |counts AS (SELECT g.l_suppkey,
+        |    CASE WHEN v <= lo + width * 1 THEN 1
+        |         WHEN v <= lo + width * 2 THEN 2
+        |         WHEN v <= lo + width * 3 THEN 3
+        |         ELSE 4 END AS bin, count(*) AS cnt
+        |  FROM g JOIN w USING (l_suppkey) GROUP BY 1, 2)
+        |SELECT e.l_suppkey, CAST(e.bin AS BIGINT) AS bin, e.bin_lo, e.bin_hi,
+        |  CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+        |FROM edges e LEFT JOIN counts c
+        |  ON e.l_suppkey = c.l_suppkey AND e.bin = c.bin
+        |ORDER BY e.l_suppkey, bin""".stripMargin,
 
     // DuckDB's native inequality join over the same synthesized windows
     "range_join_events" ->
