@@ -73,9 +73,15 @@ object StreamingDedup {
     val joined = routed.join(
       bank.select(F.col("__part"), F.col("__bloom")).hint("SHUFFLE_HASH"),
       Seq("__part"), "left")
-    val fresh = joined
-      .filter(!bloom_bank_contains(F.col("__part"), F.col("__bloom"), F.col("__h")))
-      .drop("__part", "__bloom", "__h")
+    // a part with NO bank row means the snapshot saw no hashes there —
+    // definitely new, keep the row. (bloom_bank_contains's null => "might
+    // contain" is for RESUMABLE probe banks where a missing part is
+    // merely unbuilt; a compaction bank from seenBank is complete by
+    // construction, and an incomplete one must be finished first or
+    // seen-but-dropped hashes in its missing parts would re-emit.)
+    val seenBefore = F.col("__bloom").isNotNull &&
+      bloom_bank_contains(F.col("__part"), F.col("__bloom"), F.col("__h"))
+    val fresh = joined.filter(!seenBefore).drop("__part", "__bloom", "__h")
     firstSeen(fresh, idCol, textCol)
   }
 

@@ -97,6 +97,34 @@ class StreamingSketchSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("compacted streaming dedup: bank suppresses past epochs, state the current one") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // epoch 0 (already snapshotted): alpha + beta live only in the bank
+    val past = Seq((100L, "alpha"), (101L, "beta")).toDF("doc_id", "text")
+    val bank = graft.ops.StreamingDedup.seenBank(past, "text",
+      nParts = 4, maxSizePerPart = 64)
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val deduped = graft.ops.StreamingDedup.firstSeenCompacted(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", bank, nParts = 4)
+    val q = deduped.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sdc_out").start()
+    try {
+      def seen(): Set[Long] = spark.sql("SELECT doc_id FROM sdc_out")
+        .collect().map(_.getLong(0)).toSet
+      // batch 1: bank drops the epoch-0 dup; gamma is novel (min id wins)
+      input.addData((1L, "alpha"), (3L, "gamma"), (2L, "gamma"))
+      q.processAllAvailable()
+      assert(seen() === Set(2L))
+      // batch 2: bank STILL drops epoch-0 texts; gamma now suppressed by
+      // STATE (cross-batch); delta is novel
+      input.addData((4L, "beta"), (5L, "gamma"), (6L, "delta"))
+      q.processAllAvailable()
+      assert(seen() === Set(2L, 6L))
+    } finally q.stop()
+  }
+
   test("windowed streaming aggregation with watermark accepts sketch aggregates") {
     val dir = Files.createTempDirectory("graft-stream-w").toString
     val data = s"$dir/in"
