@@ -25,13 +25,30 @@ object SparkEntry {
     * ngram persist (Dedup scopes it, so this is reuse, not leak
     * containment) and IVF training (trainIvf runs its sample + Lloyd
     * pass when the plan is constructed): re-invocations in one JVM reuse
-    * the built plan instead of re-paying that work per call. */
-  private val queryMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, SparkSession, String), DataFrame]()
+    * the built plan instead of re-paying that work per call.
+    *
+    * ONLY queries whose memoized plan still EXECUTES real work per
+    * action belong here — memoizing a query that materializes its result
+    * at build time (a streaming memory sink, checkpointed iteration
+    * output) would make every re-invocation a free table scan and fake
+    * its bench number. The outer map is WEAK on the session, so stopped
+    * sessions and their plans become collectable. */
+  private val queryMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
 
   private def memo(name: String, s: SparkSession, dir: String)(
-      build: => DataFrame): DataFrame =
-    queryMemo.computeIfAbsent((name, s, dir), _ => build)
+      build: => DataFrame): DataFrame = {
+    val perSession = queryMemo.synchronized {
+      var m = queryMemo.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        queryMemo.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent((name, dir), _ => build)
+  }
 
   /** Temp staging dir removed RECURSIVELY on JVM exit — File.deleteOnExit
     * silently leaves non-empty directories (Spark writes part files into
@@ -800,7 +817,8 @@ object SparkEntry {
     // compaction, so min/max are true extremes and bin counts are exact
     // rank differences over the equal-width edges) — DuckDB reproduces
     // the bins with the same IEEE edge arithmetic. Empty bins are
-    // emitted on both sides; the profiling primitive under oracle.
+    // emitted on both sides, and a degenerate all-equal group collapses
+    // to ONE bin on both sides; the profiling primitive under oracle.
     "kll_histogram_exact" -> ((s, dir) => {
       val sk = read(s, dir, "lineitem")
         .groupBy(F.col("l_suppkey"))
@@ -878,7 +896,10 @@ object SparkEntry {
     // the new epoch. Exact oracle in the FP-free regime (verified
     // deterministic at both SFs): seen docs can never re-emit (no false
     // negatives), so the output is exactly the new texts, min id each.
-    "streaming_dedup_compacted" -> ((s, dir) => memo("streaming_dedup_compacted", s, dir) {
+    // NOT memoized — the streaming job runs at build time (the result is
+    // a materialized memory sink), so every call honestly re-runs the
+    // bank build + stream; the bank persist is released after the run.
+    "streaming_dedup_compacted" -> ((s, dir) => {
       val epoch1 = read(s, dir, "documents").select(F.col("doc_id"), F.col("text"))
       val bank = graft.ops.StreamingDedup
         .seenBank(epoch1, "text", nParts = 8, maxSizePerPart = 2048)
@@ -908,6 +929,7 @@ object SparkEntry {
             .start()
         } finally s.conf.set("spark.sql.shuffle.partitions", saved)
       q.awaitTermination()
+      bank.unpersist(blocking = false)
       s.table(name).select(F.col("doc_id"), F.col("text")).orderBy("doc_id")
     }),
 
@@ -1095,8 +1117,12 @@ object SparkEntry {
     // pairs into dedup groups (similarity is not transitive; a curation
     // pipeline keeps one representative per component). Exact oracle:
     // DuckDB computes the same components via a recursive-CTE transitive
-    // closure over the brute-force pair set.
-    "dedup_clusters" -> ((s, dir) => memo("dedup_clusters", s, dir) {
+    // closure over the brute-force pair set. NOT memoized — the
+    // component iterations run (and checkpoint) at build time, so a
+    // memoized re-invocation would time a free table scan; every call
+    // honestly re-runs the clustering (the t=0.5 shingle table itself
+    // stays warm via Dedup's per-config persist registry).
+    "dedup_clusters" -> ((s, dir) => {
       val docs = read(s, dir, "documents").select(F.col("doc_id"), F.col("text"))
       val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
       Dedup.connectedComponents(pairs, "id_a", "id_b")
@@ -1565,13 +1591,17 @@ object SparkEntry {
       """WITH g AS (SELECT l_suppkey, CAST(l_quantity AS DOUBLE) AS v FROM lineitem),
         |s AS (SELECT l_suppkey, min(v) AS lo, max(v) AS hi FROM g GROUP BY 1),
         |w AS (SELECT *, (hi - lo) / 4 AS width FROM s),
-        |bins AS (SELECT l_suppkey, lo, hi, width, unnest(range(1, 5)) AS bin FROM w),
+        |-- a degenerate group (all values equal: lo = hi) collapses to ONE
+        |-- bin on the engine side; mirror it
+        |bins AS (SELECT l_suppkey, lo, hi, width,
+        |    unnest(range(1, CASE WHEN lo = hi THEN 2 ELSE 5 END)) AS bin FROM w),
         |edges AS (SELECT l_suppkey, bin,
         |    lo + width * (bin - 1) AS bin_lo,
-        |    CASE WHEN bin = 4 THEN hi ELSE lo + width * bin END AS bin_hi
+        |    CASE WHEN lo = hi OR bin = 4 THEN hi ELSE lo + width * bin END AS bin_hi
         |  FROM bins),
         |counts AS (SELECT g.l_suppkey,
-        |    CASE WHEN v <= lo + width * 1 THEN 1
+        |    CASE WHEN lo = hi THEN 1
+        |         WHEN v <= lo + width * 1 THEN 1
         |         WHEN v <= lo + width * 2 THEN 2
         |         WHEN v <= lo + width * 3 THEN 3
         |         ELSE 4 END AS bin, count(*) AS cnt

@@ -19,10 +19,30 @@ import graft.spark.functions.murmur64
 object Dedup {
 
   /** Most recent [[ngramJaccardPairs]] persisted shingle table per
-    * session — replaced (and the predecessor unpersisted) on each new
-    * invocation, so repeated calls strand at most ONE cached copy. */
-  private val ngramPersisted =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+    * (session, shingle-config) — replaced (and the predecessor
+    * unpersisted) on each new same-config invocation, so repeated calls
+    * strand at most ONE cached copy per config, and two differently-
+    * configured pipelines in one session (e.g. the t=0.7 dedup query and
+    * the t=0.5 clustering input) stop stealing each other's cache. The
+    * outer map is WEAK on the session, so stopped sessions and their
+    * cached plans become collectable. */
+  private val ngramPersisted = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(Int, Double), DataFrame]]())
+
+  private def registerNgramPersist(spark: SparkSession, n: Int,
+      threshold: Double, byDoc: DataFrame): Unit = {
+    val perSession = ngramPersisted.synchronized {
+      var m = ngramPersisted.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(Int, Double), DataFrame]()
+        ngramPersisted.put(spark, m)
+      }
+      m
+    }
+    val prev = perSession.put((n, threshold), byDoc)
+    if (prev != null && (prev ne byDoc)) prev.unpersist(blocking = false)
+  }
 
   /** Exact duplicate groups by content hash: keeps the minimum id per
     * distinct text. Default shuffles 16 bytes/row regardless of document
@@ -213,8 +233,7 @@ object Dedup {
         F.transform(F.col("__ts"), t => t.getField("__tok")).as("__toks"),
         F.col("__sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val prev = ngramPersisted.put(df.sparkSession, byDoc)
-    if (prev != null && (prev ne byDoc)) prev.unpersist(blocking = false)
+    registerNgramPersist(df.sparkSession, n, threshold, byDoc)
     // prefix length |X| - ceil(t·|X|) + 1; the 1e-9 slack can only shrink
     // the ceil, i.e. LENGTHEN the prefix — always safe
     val plen = (F.col("__sz") -
@@ -310,7 +329,11 @@ object Dedup {
           F.col("__old"))
         .localCheckpoint(true)
       val changed = next.filter(F.col("__comp") < F.col("__old")).count()
-      labels.unpersist(blocking = false)
+      // superseded generations are NOT explicitly unpersistable —
+      // Dataset.unpersist goes through the CacheManager, which never saw
+      // a localCheckpoint's RDD-level blocks. Dropping the reference here
+      // lets the ContextCleaner reclaim them; pointer jumping bounds live
+      // generations to the O(log diameter) iteration count.
       labels = next.drop("__old")
       converged = changed == 0L
       it += 1

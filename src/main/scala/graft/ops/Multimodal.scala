@@ -386,12 +386,13 @@ object Multimodal {
     * no installed codec recognizes the bytes. */
   def decodeFrames(content: Array[Byte]): Option[Array[DecodedFrame]] = {
     var iis: javax.imageio.stream.ImageInputStream = null
+    var reader: javax.imageio.ImageReader = null
     try {
       iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(content))
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) return None
-      val reader = readers.next()
+      reader = readers.next()
       reader.setInput(iis)
       val n = reader.getNumImages(true)
       if (n <= 0) return None
@@ -404,11 +405,15 @@ object Multimodal {
           img.getRGB(0, 0).toLong & 0xffffffffL, pixelFingerprint(img))
         f += 1
       }
-      reader.dispose()
       Some(out)
     } catch {
       case scala.util.control.NonFatal(_) => None
-    } finally if (iis != null) iis.close()
+    } finally {
+      // dispose on EVERY path: a truncated container that fails mid-read
+      // must not strand reader decode buffers across millions of assets
+      if (reader != null) reader.dispose()
+      if (iis != null) iis.close()
+    }
   }
 
   /** delayTime (centiseconds) from the frame's GraphicControlExtension;

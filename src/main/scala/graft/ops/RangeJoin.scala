@@ -22,7 +22,18 @@ object RangeJoin {
 
   /** `events` x `intervals` on numeric (e.g. epoch-seconds) columns:
     * every pair with `start <= ts < end`. Column sets must be disjoint
-    * enough that `tsCol`, `startCol`, `endCol` resolve unambiguously. */
+    * enough that `tsCol`, `startCol`, `endCol` resolve unambiguously.
+    *
+    * Buckets come from true FLOOR division in double (`floor(v / w)`),
+    * so fractional and negative values bucket correctly — a long cast
+    * would truncate toward zero and silently lose matches near bucket
+    * boundaries for non-integer inputs. The interval's bucket range is
+    * end-INCLUSIVE (`floor(end / w)`), which over-replicates a boundary-
+    * aligned interval by one empty bucket but guarantees completeness:
+    * any ts in [start, end) satisfies floor(start/w) <= floor(ts/w) <=
+    * floor(end/w), and the exact predicate keeps soundness. Caveat: the
+    * double division is exact for |values| < 2^53 — every epoch-seconds
+    * or epoch-millis timestamp for the next ~285k years. */
   def intervalJoin(events: DataFrame, tsCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
       bucketWidth: Long): DataFrame = {
@@ -30,15 +41,15 @@ object RangeJoin {
     val clash = events.columns.intersect(intervals.columns)
     require(clash.isEmpty,
       s"event and interval columns must not overlap: ${clash.mkString(",")}")
-    val e = events.withColumn("__b",
-      F.floor(F.col(tsCol).cast("long") / bucketWidth))
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      F.floor(c.cast("double") / F.lit(bucketWidth.toDouble)).cast("long")
+    val e = events.withColumn("__b", bucketOf(F.col(tsCol)))
     // an empty interval (end <= start) overlaps nothing: guard the
     // sequence bounds so it produces no buckets instead of a negative range
     val i = intervals
       .filter(F.col(endCol) > F.col(startCol))
       .withColumn("__b", F.explode(F.sequence(
-        F.floor(F.col(startCol).cast("long") / bucketWidth),
-        F.floor((F.col(endCol).cast("long") - 1) / bucketWidth))))
+        bucketOf(F.col(startCol)), bucketOf(F.col(endCol)))))
     e.join(i, "__b")
       .filter(F.col(tsCol) >= F.col(startCol) && F.col(tsCol) < F.col(endCol))
       .drop("__b")

@@ -178,11 +178,19 @@ case class IvfCellsExpr(child: Expression, centroids: Array[Array[Double]],
   * function formulation it replaces (`zip_with` + `aggregate`) built a
   * per-row lambda interpreter ~20x slower on 128-dim floats.
   *
-  * Arithmetic REPRODUCES the higher-order form bit for bit so oracle
-  * rank comparisons are unaffected: per-element products in the input's
-  * own precision (float·float stays a float multiply), accumulated
-  * left-to-right into a double. Null elements contribute nothing; zero
-  * norm yields 0.0.
+  * On well-formed inputs (equal-length, null-free element arrays — every
+  * embedding this engine produces or reads) the arithmetic REPRODUCES
+  * the higher-order form bit for bit, so oracle rank comparisons are
+  * unaffected: per-element products in the input's own precision
+  * (float·float stays a float multiply), accumulated left-to-right into
+  * a double. On MALFORMED inputs the two deliberately diverge: the old
+  * form returned null for a null element or a length mismatch (the null
+  * product poisons the fold), silently dropping the row downstream; this
+  * expression instead skips null elements, scores DIMENSION-MISMATCHED
+  * pairs 0.0 outright (truncating would let a 1-element fragment score
+  * ~1.0 against anything aligned with it), and returns 0.0 on a zero
+  * norm — degraded vectors lose rankings rather than vanish without
+  * trace.
   */
 case class CosineSimExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -208,7 +216,8 @@ case class CosineSimExpr(left: Expression, right: Expression)
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
     val nb = b.numElements()
-    val n = math.min(na, nb)
+    if (na != nb) return 0.0 // incomparable dimensions
+    val n = na
     var dot = 0.0
     var d = 0
     while (d < n) {

@@ -481,6 +481,14 @@ class OpsSpec extends SparkTestBase {
     val got = graft.ops.RangeJoin.intervalJoin(pts, "t", ivs, "is", "ie", 16L)
       .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((1L, 7L), (2L, 7L))) // t=20 excluded (half-open); empty interval matches nothing
+
+    // FRACTIONAL and NEGATIVE numerics: a long-cast bucketing would
+    // truncate 10.2 -> 10 and -0.5 -> 0 and lose these matches
+    val fpts = Seq((1L, 10.2), (2L, -0.5), (3L, 0.4)).toDF("pid", "t")
+    val fivs = Seq((7L, 9.6, 10.5), (8L, -1.0, 0.5)).toDF("iid", "is", "ie")
+    val fgot = graft.ops.RangeJoin.intervalJoin(fpts, "t", fivs, "is", "ie", 1L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fgot === Set((1L, 7L), (2L, 8L), (3L, 8L)))
   }
 
   test("multiprobe: flips least-confident bits; recall at 1 table beats single-probe") {
