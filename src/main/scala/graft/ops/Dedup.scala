@@ -344,6 +344,20 @@ object Dedup {
     labels.select(F.col("__id").as(aCol), F.col("__comp").as("component"))
   }
 
+  /** The end-of-pipeline materializer over [[connectedComponents]]:
+    * keep exactly one representative (the minimum id) per near-dup
+    * cluster and every unpaired document. The losers list is tiny
+    * relative to the corpus (ids of non-representative cluster members),
+    * so the final prune is a left-anti join against a small side —
+    * the corpus shuffles on its id once, bodies untouched. */
+  def keepClusterRepresentatives(df: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol)
+      .filter(F.col(aCol) =!= F.col("component"))
+      .select(F.col(aCol).as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-duplicate pairs: 64-bit signature, candidates matched
     * on any of 4 x 16-bit bands, verified by Hamming distance <=
     * `maxHamming` via the codegen'd bit_count built-in. */

@@ -703,6 +703,16 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("keepClusterRepresentatives: one survivor per cluster, unpaired docs intact") {
+    import spark.implicits._
+    val docs = (1L to 10L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    // clusters {1,2,3} (chained) and {5,7}; 4,6,8,9,10 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 7L)).toDF("id_a", "id_b")
+    val kept = graft.ops.Dedup.keepClusterRepresentatives(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 4L, 5L, 6L, 8L, 9L, 10L))
+  }
+
   test("ngramJaccardPairs finds a planted mutated copy with the exact jaccard") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
