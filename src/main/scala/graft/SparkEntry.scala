@@ -854,6 +854,24 @@ object SparkEntry {
         .orderBy("w_id")
     }),
 
+    // FUZZY self-join (typo clustering): the vocabulary plus planted
+    // first-char typos, paired at edit distance <= 1 through the q-gram
+    // prefix filter + exact levenshtein verify. Both engines implement
+    // the same unit-cost Levenshtein, so the oracle is the brute-force
+    // all-pairs join over the identical deterministic population.
+    "fuzzy_term_pairs" -> ((s, dir) => {
+      val terms = read(s, dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).as("term"))
+        .filter(F.col("term") =!= "").distinct()
+      val typos = terms.filter(F.length(F.col("term")) >= 4)
+        .select(F.concat(F.lit("z"), F.expr("substring(term, 2)")).as("term"))
+      val pop = terms.unionByName(typos).distinct()
+      graft.ops.FuzzyJoin.editDistancePairs(pop, "term", "term", maxEd = 1, q = 2)
+        .select(F.col("id_a").as("term_a"), F.col("id_b").as("term_b"),
+          F.col("ed").cast("long").as("ed"))
+        .orderBy("term_a", "term_b")
+    }),
+
     // keyword extraction: per-doc top-3 terms by rarity-weighted
     // frequency (tf/df), ranked through the mergeable top_k_by k-heap —
     // exact oracle (integer counts, IEEE division, term tie-break)
@@ -1625,6 +1643,21 @@ object SparkEntry {
         |  ON CAST(floor(epoch(ev.ts)) AS BIGINT) >= w_start
         | AND CAST(floor(epoch(ev.ts)) AS BIGINT) < w_end
         |GROUP BY w_id ORDER BY w_id""".stripMargin,
+
+    // brute-force all-pairs levenshtein over the same population — the
+    // prefix-filtered engine output must EQUAL it (EDJoin completeness)
+    "fuzzy_term_pairs" ->
+      """WITH w AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |t AS (SELECT term FROM w WHERE term <> ''),
+        |p AS (SELECT term FROM t
+        |      UNION
+        |      SELECT 'z' || substr(term, 2) FROM t WHERE length(term) >= 4)
+        |SELECT a.term AS term_a, b.term AS term_b,
+        |  CAST(levenshtein(a.term, b.term) AS BIGINT) AS ed
+        |FROM p a JOIN p b ON a.term < b.term
+        |WHERE levenshtein(a.term, b.term) <= 1
+        |ORDER BY term_a, term_b""".stripMargin,
 
     "doc_top_terms" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -703,6 +703,43 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("editDistancePairs equals brute-force levenshtein on seeded random typos") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val alpha = "abcdefgh"
+    def word(): String = (0 until (4 + rnd.nextInt(6)))
+      .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val base = (1 to 120).map(_ => word()).distinct
+    // planted edits of each kind: substitution, deletion, insertion
+    val mutated = base.flatMap { w =>
+      val p = rnd.nextInt(w.length)
+      Seq(w.updated(p, 'z'),
+        w.take(p) + w.drop(p + 1),
+        w.take(p) + "q" + w.drop(p))
+    }
+    val pop = (base ++ mutated).distinct.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+    val df = pop.toDF("id", "s")
+    for (k <- Seq(1, 2)) {
+      val got = graft.ops.FuzzyJoin.editDistancePairs(df, "id", "s", maxEd = k, q = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // local brute force (classic DP levenshtein)
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val expected = (for {
+        (ia, sa) <- pop; (ib, sb) <- pop if ia < ib
+        e = lev(sa, sb) if e <= k
+      } yield (ia, ib, e)).toSet
+      assert(got === expected, s"maxEd=$k")
+      assert(got.nonEmpty, s"maxEd=$k found nothing — corpus too clean")
+    }
+  }
+
   test("keepClusterRepresentatives: one survivor per cluster, unpaired docs intact") {
     import spark.implicits._
     val docs = (1L to 10L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
