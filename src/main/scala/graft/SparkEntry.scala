@@ -872,6 +872,24 @@ object SparkEntry {
         .orderBy("term_a", "term_b")
     }),
 
+    // DECONTAMINATION: per-document benchmark n-gram overlap counts.
+    // The "benchmark" is synthesized deterministically from the corpus
+    // itself (token window 5..24 of every 97th document), so real
+    // contamination exists by construction; the Bloom-prefiltered
+    // overlap count is exact (the prefilter only prunes), and DuckDB
+    // reproduces the identical n-gram sets from the identical slices.
+    "decontaminate_corpus" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val bench = docs.filter(F.col("doc_id") % 97 === 0)
+        .select(F.array_join(
+          F.slice(graft.ops.Decontaminate.tokens(F.col("text")), 5, 20), " ")
+          .as("bench_text"))
+      graft.ops.Decontaminate.overlapHits(docs, "doc_id", "text",
+          bench, "bench_text", n = 8)
+        .select(F.col("doc_id"), F.col("n_hits"))
+        .orderBy("doc_id")
+    }),
+
     // keyword extraction: per-doc top-3 terms by rarity-weighted
     // frequency (tf/df), ranked through the mergeable top_k_by k-heap —
     // exact oracle (integer counts, IEEE division, term tie-break)
@@ -1658,6 +1676,22 @@ object SparkEntry {
         |FROM p a JOIN p b ON a.term < b.term
         |WHERE levenshtein(a.term, b.term) <= 1
         |ORDER BY term_a, term_b""".stripMargin,
+
+    // identical tokenization (empty tokens filtered), identical slices,
+    // identical 8-gram windows — the overlap join is then set-exact
+    "decontaminate_corpus" ->
+      """WITH tok AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |bw AS (SELECT w[5:24] AS w FROM tok WHERE doc_id % 97 = 0),
+        |bg AS (SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS g
+        |       FROM (SELECT w, unnest(range(1, len(w) - 6)) AS i FROM bw
+        |             WHERE len(w) >= 8)),
+        |cg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g
+        |       FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i FROM tok
+        |             WHERE len(w) >= 8))
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM cg JOIN bg USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "doc_top_terms" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

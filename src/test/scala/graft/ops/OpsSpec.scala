@@ -740,6 +740,49 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("decontaminate: overlap hits equal local n-gram set intersection; clean removes flagged") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = (1 to 40).map(i => s"w$i")
+    def doc(): String = (0 until 12 + rnd.nextInt(8))
+      .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val corpus0 = (1L to 60L).map(i => (i, doc()))
+    // plant verbatim benchmark excerpts inside three corpus docs
+    val benchLines = Seq("alpha beta gamma delta epsilon zeta", "q r s t u v w x")
+    val corpus = corpus0.map {
+      case (i, t) if i == 7L  => (i, t + " " + benchLines(0))
+      case (i, t) if i == 21L => (i, benchLines(1) + " " + t)
+      case (i, t) if i == 40L => (i, t.split(" ").take(3).mkString(" ") +
+        " " + benchLines(0) + " tail")
+      case x => x
+    }
+    val n = 3
+    def grams(t: String): Set[String] = {
+      val w = t.split(" ").filter(_.nonEmpty)
+      if (w.length < n) Set.empty
+      else w.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val bGrams = benchLines.flatMap(grams).toSet
+    val expected = corpus.map { case (i, t) => i -> (grams(t) & bGrams).size }
+      .filter(_._2 > 0).toMap
+    val hits = graft.ops.Decontaminate.overlapHits(
+      corpus.toDF("doc_id", "text"), "doc_id", "text",
+      benchLines.map(Tuple1(_)).toDF("btext"), "btext", n = n)
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(hits === expected)
+    assert(hits.keySet === Set(7L, 21L, 40L), "planted docs flagged, others not")
+    val kept = graft.ops.Decontaminate.clean(
+      corpus.toDF("doc_id", "text"), "doc_id", "text",
+      benchLines.map(Tuple1(_)).toDF("btext"), "btext", n = n)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === corpus.map(_._1).toSet -- Set(7L, 21L, 40L))
+    // a benchmark line shorter than n tokens contributes nothing
+    val shortHits = graft.ops.Decontaminate.overlapHits(
+      corpus.toDF("doc_id", "text"), "doc_id", "text",
+      Seq(Tuple1("a b")).toDF("btext"), "btext", n = n).count()
+    assert(shortHits === 0L)
+  }
+
   test("keepClusterRepresentatives: one survivor per cluster, unpaired docs intact") {
     import spark.implicits._
     val docs = (1L to 10L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
