@@ -890,6 +890,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // C4-style cross-document LINE dedup: "lines" are fixed 10-token
+    // chunks (the corpus has no newlines); every distinct chunk
+    // survives only at its first (doc_id, position) occurrence and
+    // documents are reassembled from their survivors. 151 of 2,949
+    // chunk occurrences drop at sf0.01 — real cross-doc repetition.
+    "line_dedup" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val w = graft.ops.Decontaminate.tokens(F.col("text"))
+      val chunks = F.when(F.size(w) > 0,
+        F.transform(
+          F.sequence(F.lit(1), F.ceil(F.size(w) / F.lit(10.0)).cast("int")),
+          i => F.array_join(
+            F.slice(w, (i - F.lit(1)) * F.lit(10) + F.lit(1), F.lit(10)), " ")))
+        .otherwise(F.array().cast("array<string>"))
+      val withLines = docs.select(F.col("doc_id"), chunks.as("lines"))
+      graft.ops.Dedup.lineDedup(withLines, "doc_id", "lines")
+        .select(F.col("doc_id"),
+          F.array_join(F.col("lines"), " ").as("kept_text"),
+          F.size(F.col("lines")).cast("long").as("n_kept"))
+        .filter(F.col("n_kept") > 0)
+        .orderBy("doc_id")
+    }),
+
     // keyword extraction: per-doc top-3 terms by rarity-weighted
     // frequency (tf/df), ranked through the mergeable top_k_by k-heap —
     // exact oracle (integer counts, IEEE division, term tie-break)
@@ -1692,6 +1715,23 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_hits
         |FROM cg JOIN bg USING (g)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // first-occurrence-wins in (doc_id, pos) order, identical 10-token
+    // chunking; string_agg ORDER BY pos mirrors the preserved array order
+    "line_dedup" ->
+      """WITH tok AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |L AS (SELECT doc_id, i AS pos,
+        |        array_to_string(w[(i-1)*10+1:i*10], ' ') AS chunk
+        |      FROM (SELECT doc_id, w,
+        |              unnest(range(1, CAST(ceil(len(w)/10.0) AS BIGINT) + 1)) AS i
+        |            FROM tok)),
+        |k AS (SELECT doc_id, pos, chunk,
+        |        row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+        |      FROM L)
+        |SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS kept_text,
+        |       count(*) AS n_kept
+        |FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "doc_top_terms" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

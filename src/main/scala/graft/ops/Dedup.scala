@@ -65,6 +65,46 @@ object Dedup {
     }
   }
 
+  /** Cross-document LINE-level exact dedup — the C4 / MassiveText
+    * scrub: every distinct line survives only at its first occurrence
+    * in the (idCol, position) total order; all other occurrences —
+    * including repeats inside one document — are removed, and each
+    * document keeps its surviving lines in original order.
+    *
+    * `linesCol` is an `array<string>` of pre-split lines (the caller
+    * owns the splitting policy: newline, sentence, fixed token chunk).
+    *
+    * Shape at scale: the dedup exchange carries only (hash64, id, pos)
+    * — line TEXT never shuffles — and the winner set (one row per
+    * distinct line) folds to a per-document position whitelist before
+    * rejoining the corpus on id, so document bodies cross the wire
+    * exactly once, in the output. Hash-only grouping has the same
+    * 64-bit collision tradeoff as [[exactDedup]]; `verifyByText=true`
+    * groups by (hash, line) so a collision between distinct lines can
+    * never merge them, at the cost of shuffling the line column. */
+  def lineDedup(df: DataFrame, idCol: String, linesCol: String,
+      verifyByText: Boolean = false): DataFrame = {
+    val occ = df.select(F.col(idCol).as("__id"),
+        F.posexplode(F.col(linesCol)).as(Seq("__pos", "__line")))
+      .select(F.col("__id"), F.col("__pos"),
+        murmur64(F.col("__line")).as("__h"), F.col("__line"))
+    val winners =
+      (if (verifyByText) occ.groupBy(F.col("__h"), F.col("__line"))
+       else occ.select("__id", "__pos", "__h").groupBy(F.col("__h")))
+        .agg(F.min(F.struct(F.col("__id"), F.col("__pos"))).as("__w"))
+        .select(F.col("__w.__id").as("__id"), F.col("__w.__pos").as("__pos"))
+    val keepPerDoc = winners.groupBy("__id")
+      .agg(F.collect_set(F.col("__pos")).as("__keep"))
+    val survivors = F.when(F.col("__keep").isNotNull,
+        // posexplode positions and the filter lambda index are both
+        // 0-based — they align by construction
+        F.filter(df(linesCol), (_, i) => F.array_contains(F.col("__keep"), i)))
+      .otherwise(F.array().cast("array<string>"))
+    df.join(keepPerDoc, df(idCol) === keepPerDoc("__id"), "left")
+      .select(df.columns.map(c =>
+        if (c == linesCol) survivors.as(linesCol) else df(c)): _*)
+  }
+
   /** Exact duplicate pairs (loser -> kept winner), for building a purge
     * list: every id whose text already appeared under a smaller id. */
   def exactDupLosers(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -783,6 +783,31 @@ class OpsSpec extends SparkTestBase {
     assert(shortHits === 0L)
   }
 
+  test("lineDedup: first (doc,pos) occurrence wins, within-doc repeats drop, order kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq("aa", "bb", "cc")),
+      (2L, Seq("bb", "dd", "bb")),   // cross-doc dup + within-doc repeat
+      (3L, Seq("aa", "cc")),         // loses everything
+      (4L, Seq[String]()),           // empty stays empty
+      (5L, Seq("ee", "aa", "ff"))
+    ).toDF("doc_id", "lines")
+    val expected = Map(
+      1L -> Seq("aa", "bb", "cc"), 2L -> Seq("dd"), 3L -> Seq[String](),
+      4L -> Seq[String](), 5L -> Seq("ee", "ff"))
+    for (verify <- Seq(false, true)) {
+      val got = graft.ops.Dedup.lineDedup(docs, "doc_id", "lines", verifyByText = verify)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(got === expected, s"verifyByText=$verify")
+    }
+    // extra columns and their order survive untouched
+    val withMeta = docs.withColumn("lang", F.lit("en"))
+      .select("doc_id", "lang", "lines")
+    val out = graft.ops.Dedup.lineDedup(withMeta, "doc_id", "lines")
+    assert(out.columns.toSeq === Seq("doc_id", "lang", "lines"))
+    assert(out.filter(F.col("lang") =!= "en").count() === 0L)
+  }
+
   test("keepClusterRepresentatives: one survivor per cluster, unpaired docs intact") {
     import spark.implicits._
     val docs = (1L to 10L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
