@@ -913,6 +913,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style repetition signals: duplicate-chunk fraction (pure
+    // projection) + top-bigram mass fraction ((id, bigram) partial
+    // counts). Exact: integer counts, IEEE double division both sides.
+    "repetition_signals" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // keyword extraction: per-doc top-3 terms by rarity-weighted
     // frequency (tf/df), ranked through the mergeable top_k_by k-heap —
     // exact oracle (integer counts, IEEE division, term tie-break)
@@ -1732,6 +1741,29 @@ object SparkEntry {
         |SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS kept_text,
         |       count(*) AS n_kept
         |FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same 10-token chunking and bigram windows; fractions are integer
+    // ratios under IEEE double division in both engines
+    "repetition_signals" ->
+      """WITH tok AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |ch AS (SELECT doc_id, array_to_string(w[(i-1)*10+1:i*10], ' ') AS chunk
+        |       FROM (SELECT doc_id, w,
+        |               unnest(range(1, CAST(ceil(len(w)/10.0) AS BIGINT) + 1)) AS i
+        |             FROM tok)),
+        |cstat AS (SELECT doc_id, count(*) AS tot, count(DISTINCT chunk) AS dis
+        |          FROM ch GROUP BY doc_id),
+        |bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+        |       FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM tok
+        |             WHERE len(w) >= 2)),
+        |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bstat AS (SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS tot
+        |          FROM bc GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+        |  COALESCE((cstat.tot - cstat.dis) * 1.0 / cstat.tot, 0.0) AS dup_chunk_frac,
+        |  COALESCE(bstat.mx * 1.0 / bstat.tot, 0.0) AS top_bigram_frac
+        |FROM tok t LEFT JOIN cstat USING (doc_id) LEFT JOIN bstat USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
 
     "doc_top_terms" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

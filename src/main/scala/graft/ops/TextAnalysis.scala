@@ -63,6 +63,57 @@ object TextAnalysis {
         F.col("__e.value").as("term"))
   }
 
+  /** Per-document REPETITION signals — the Gopher/MassiveText
+    * repetitious-text filters: the fraction of fixed-size line chunks
+    * that repeat an earlier chunk of the same document, and the mass
+    * fraction of the document's most frequent word bigram. Both rise
+    * sharply on boilerplate/spam and drive removal thresholds in every
+    * large-scale curation pipeline.
+    *
+    * Shape at scale: the chunk signal is a pure per-row projection
+    * (array_distinct within the document, no exchange); the bigram
+    * signal shuffles (id, bigram) with map-side partial counts — the
+    * same exchange profile as token counting. Output: (idCol,
+    * n_tokens, dup_chunk_frac, top_bigram_frac), zeros for documents
+    * too short to have chunks or bigrams. */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 10): DataFrame = {
+    require(chunkTokens >= 1, "chunkTokens must be >= 1")
+    val w = Decontaminate.tokens(F.col(textCol))
+    val base = df.select(F.col(idCol), w.as("__w"))
+
+    val chunks = F.when(F.size(F.col("__w")) > 0,
+      F.transform(
+        F.sequence(F.lit(1),
+          F.ceil(F.size(F.col("__w")) / F.lit(chunkTokens.toDouble)).cast("int")),
+        i => F.array_join(F.slice(F.col("__w"),
+          (i - F.lit(1)) * F.lit(chunkTokens) + F.lit(1), F.lit(chunkTokens)), " ")))
+      .otherwise(F.array().cast("array<string>"))
+    val proj = base.select(F.col(idCol),
+      F.size(F.col("__w")).cast("long").as("n_tokens"), chunks.as("__c"))
+      .select(F.col(idCol), F.col("n_tokens"),
+        F.when(F.size(F.col("__c")) > 0,
+          (F.size(F.col("__c")) - F.size(F.array_distinct(F.col("__c"))))
+            .cast("double") / F.size(F.col("__c")).cast("double"))
+          .otherwise(F.lit(0.0)).as("dup_chunk_frac"))
+
+    val bigrams = base.select(F.col(idCol),
+      F.explode(F.when(F.size(F.col("__w")) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(F.col("__w")) - 1),
+          i => F.concat(F.element_at(F.col("__w"), i), F.lit(" "),
+            F.element_at(F.col("__w"), i + F.lit(1)))))
+        .otherwise(F.array().cast("array<string>"))).as("__g"))
+    val bstat = bigrams.groupBy(F.col(idCol), F.col("__g"))
+      .agg(F.count(F.lit(1)).as("__cnt"))
+      .groupBy(F.col(idCol))
+      .agg(F.max(F.col("__cnt")).as("__mx"), F.sum(F.col("__cnt")).as("__tot"))
+
+    proj.join(bstat, Seq(idCol), "left")
+      .select(F.col(idCol), F.col("n_tokens"), F.col("dup_chunk_frac"),
+        F.coalesce(F.col("__mx").cast("double") / F.col("__tot").cast("double"),
+          F.lit(0.0)).as("top_bigram_frac"))
+  }
+
   /** Quality features per document: the classic curation signals, all
     * exact arithmetic (SQL-expressible in both Spark and DuckDB). */
   def withQualityFeatures(df: DataFrame, textCol: String): DataFrame = {

@@ -808,6 +808,26 @@ class OpsSpec extends SparkTestBase {
     assert(out.filter(F.col("lang") =!= "en").count() === 0L)
   }
 
+  test("repetitionSignals: hand-computed chunk/bigram fractions, short and empty docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 20).map(_ => "t").mkString(" ")),         // 2 identical 10-token chunks
+      (2L, "p q r s"),                                     // 1 chunk, 3 bigrams all distinct
+      (3L, "solo"),                                        // 1 token: no bigrams
+      (4L, "")                                             // empty
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // doc 1: 20 "t" tokens -> chunks ["t"*10, "t"*10] dup frac 1/2;
+    //        19 bigrams all "t t" -> top frac 1.0
+    assert(got(1L) === ((20L, 0.5, 1.0)))
+    // doc 2: one chunk (dup 0); bigrams pq,qr,rs each 1/3
+    assert(got(2L) === ((4L, 0.0, 1.0 / 3.0)))
+    assert(got(3L) === ((1L, 0.0, 0.0)))
+    assert(got(4L) === ((0L, 0.0, 0.0)))
+  }
+
   test("keepClusterRepresentatives: one survivor per cluster, unpaired docs intact") {
     import spark.implicits._
     val docs = (1L to 10L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
