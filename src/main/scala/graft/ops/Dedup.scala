@@ -41,7 +41,16 @@ object Dedup {
       m
     }
     val prev = perSession.put((n, threshold), byDoc)
-    if (prev != null && (prev ne byDoc)) prev.unpersist(blocking = false)
+    // CacheManager keys cached data by CANONICALIZED PLAN, not by Dataset
+    // reference: when a re-invocation rebuilds the identical plan (same
+    // input, same config — exactly what a benchmark's second pass does),
+    // the new persist() is a no-op against the predecessor's entry, and
+    // unpersisting the predecessor would evict the ONE shared entry,
+    // leaving the new invocation silently uncached (measured 7x on the
+    // t=0.5 clustering input). Same-semantics generations therefore
+    // share the entry and there is nothing to release.
+    if (prev != null && (prev ne byDoc) && !prev.sameSemantics(byDoc))
+      prev.unpersist(blocking = false)
   }
 
   /** Exact duplicate groups by content hash: keeps the minimum id per
@@ -339,13 +348,27 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(F.col(aCol).as("__src"), F.col(bCol).as("__dst"))
-      .unionAll(pairs.select(F.col(bCol).as("__src"), F.col(aCol).as("__dst")))
+    // persist the pair projection FIRST: the symmetric union below reads
+    // it twice, and without the cache materializing `edges` executes the
+    // caller's whole pair-generation DAG (candidate join + verify for
+    // near-dup inputs — the expensive part) twice over. The projection
+    // is a distinct canonicalized plan, so unpersisting it cannot drop a
+    // cache entry the caller installed on the raw frame.
+    val p = pairs.select(F.col(aCol).as("__src"), F.col(bCol).as("__dst"))
+      .persist(lvl)
+    val edges = p
+      .unionAll(p.select(F.col("__dst").as("__src"), F.col("__src").as("__dst")))
       .dropDuplicates("__src", "__dst")
       .persist(lvl)
+    val tEdges = System.nanoTime()
     var labels = edges.select(F.col("__src").as("__id")).distinct()
       .withColumn("__comp", F.col("__id"))
       .localCheckpoint(true)
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      // scalastyle:off println
+      println(f"[cc] edges+labels sec=${(System.nanoTime() - tEdges) / 1e9}%.2f")
+      // scalastyle:on println
+    p.unpersist(blocking = false)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -361,14 +384,23 @@ object Dedup {
             .as("__c1"))
       // pointer jump: follow the label one hop (labels always point at
       // node ids, so the self-join is total; left join for safety)
+      // LAZY checkpoint: the convergence count right below is the
+      // materializing action, so each iteration runs ONE Spark job
+      // (eager checkpoint + count was two) — at a few hundred edges the
+      // loop is pure fixed job overhead and this halves it
       val next = stepped
         .join(stepped.select(F.col("__id").as("__c1"), F.col("__c1").as("__cc")),
           Seq("__c1"), "left")
         .select(F.col("__id"),
           F.coalesce(F.col("__cc"), F.col("__c1")).as("__comp"),
           F.col("__old"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
+      val t0 = System.nanoTime()
       val changed = next.filter(F.col("__comp") < F.col("__old")).count()
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        // scalastyle:off println
+        println(f"[cc] iter=$it changed=$changed sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+        // scalastyle:on println
       // superseded generations are NOT explicitly unpersistable —
       // Dataset.unpersist goes through the CacheManager, which never saw
       // a localCheckpoint's RDD-level blocks. Dropping the reference here

@@ -56,7 +56,11 @@ object FuzzyJoin {
       m
     }
     val prev = perSession.put((maxEd, q), dfs)
-    if (prev != null) prev.filterNot(p => dfs.exists(_ eq p))
+    // see Dedup.registerNgramPersist: same-semantics generations SHARE
+    // one CacheManager entry (keyed by canonicalized plan) — unpersisting
+    // the predecessor would evict the new generation's cache too
+    if (prev != null) prev
+      .filterNot(p => dfs.exists(d => (d eq p) || p.sameSemantics(d)))
       .foreach(_.unpersist(blocking = false))
   }
 
