@@ -1046,6 +1046,22 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // per-label embedding centroids through the mergeable vec_mean
+    // aggregate (one (double[dims], count) buffer per group — never a
+    // posexplode of rows x dims); exploded to (label, dim, mean_val) so
+    // the oracle compares scalars, avg'd identically in double
+    "embedding_centroids" -> ((s, dir) => {
+      import graft.spark.functions.vec_mean
+      read(s, dir, "embeddings")
+        .groupBy(F.col("label"))
+        .agg(vec_mean(F.col("embedding")).as("__c"))
+        .select(F.col("label").cast("long").as("label"),
+          F.posexplode(F.col("__c")).as(Seq("__d", "mean_val")))
+        .select(F.col("label"), F.col("__d").cast("long").as("dim"),
+          F.col("mean_val"))
+        .orderBy("label", "dim")
+    }),
+
     // brute-force cosine top-k ANN baseline; ranks (not float scores) so
     // the DuckDB oracle compares exactly
     "similarity_topk" -> ((s, dir) => {
@@ -1893,6 +1909,15 @@ object SparkEntry {
         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         |FROM q JOIN d USING (doc_id)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // element means in double on both sides; %.6g canonicalization
+    // absorbs the FP addition-order tail (sums of ~50 floats)
+    "embedding_centroids" ->
+      """SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
+        |  avg(CAST(v AS DOUBLE)) AS mean_val
+        |FROM (SELECT label, unnest(embedding) AS v,
+        |        generate_subscripts(embedding, 1) AS i FROM embeddings)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "similarity_topk" ->
       """SELECT query_id, vec_id, rank FROM (

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.spark.agg.{BloomAgg, BloomMergeAgg, CmsAgg, CmsMergeAgg, CmsWeightedAgg, HeavyHittersAgg, HeavyHittersMergeAgg, HllAgg, HllMergeAgg, KllAgg, KllMergeAgg, TDigestAgg, TDigestMergeAgg, TopKByAgg}
+import graft.spark.agg.{BloomAgg, BloomMergeAgg, CmsAgg, CmsMergeAgg, CmsWeightedAgg, HeavyHittersAgg, HeavyHittersMergeAgg, HllAgg, HllMergeAgg, KllAgg, KllMergeAgg, TDigestAgg, TDigestMergeAgg, TopKByAgg, VecMeanAgg}
 import graft.spark.expr._
 
 /** SQL registration for the engine: `spark.sql("SELECT graft_hash64(x)...")`.
@@ -101,6 +101,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("top_k_by", {
       case Seq(v, score, k) => TopKByAgg(v, score, litInt(k)).toAggregateExpression()
     })
+    register("vec_mean", { case Seq(v) => VecMeanAgg(v).toAggregateExpression() })
     register("cosine_similarity",
       { case Seq(a, b) => graft.ops.CosineSimExpr(a, b) })
     register("srp_signature", {

@@ -161,6 +161,14 @@ object functions {
     column(graft.spark.agg.TopKByAgg(expression(value), expression(score), k)
       .toAggregateExpression())
 
+  // ---- vector aggregation ----
+
+  /** Mergeable element-wise vector mean (per-group embedding centroid):
+    * one (double[dims], count) buffer per group with map-side partial
+    * aggregation — never a posexplode of |rows| x dims. */
+  def vec_mean(vec: Column): Column =
+    column(graft.spark.agg.VecMeanAgg(expression(vec)).toAggregateExpression())
+
   // ---- one-shot conveniences ----
 
   /** Distinct-count estimate in one aggregation (hll_estimate ∘ hll_sketch). */

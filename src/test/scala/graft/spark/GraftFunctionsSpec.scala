@@ -372,4 +372,41 @@ class GraftFunctionsSpec extends SparkTestBase {
       "SELECT kll_quantile(kll_sketch(length(s)), 0.5d) FROM items").head().getDouble(0)
     assert(q >= 7 && q <= 8) // item0..item999: lengths 5..8, median 7 or 8
   }
+
+  test("vec_mean: partition-invariant exact centroid, null rows skipped, SQL form") {
+    import spark.implicits._
+    // integer-valued floats: double sums are EXACT regardless of
+    // addition order, so partition invariance is checkable by equality
+    val rows = (0 until 900).map { i =>
+      (i % 4L, if (i % 90 == 89) null
+               else Array.tabulate(8)(d => ((i * 7 + d * 13) % 101).toFloat))
+    }
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      val vs = rs.flatMap(r => Option(r._2))
+      g -> Array.tabulate(8)(d => vs.map(_(d).toDouble).sum / vs.length)
+    }
+    for (parts <- Seq(1, 7, 32)) {
+      val got = rows.toDF("g", "vec").repartition(parts)
+        .groupBy("g").agg(vec_mean(F.col("vec")).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      expected.foreach { case (g, e) =>
+        assert(got(g).sameElements(e), s"group $g parts $parts") }
+    }
+    // all-null group -> null centroid
+    val nulls = Seq((1L, null: Array[Float])).toDF("g", "vec")
+      .groupBy("g").agg(vec_mean(F.col("vec")).as("c")).head()
+    assert(nulls.isNullAt(1))
+    // SQL registration
+    rows.toDF("g", "vec").createOrReplaceTempView("vm_items")
+    val viaSql = spark.sql(
+      "SELECT g, vec_mean(vec) AS c FROM vm_items GROUP BY g")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    expected.foreach { case (g, e) => assert(viaSql(g).sameElements(e)) }
+    // dimension mismatch fails loudly, not silently biased
+    val bad = Seq((1L, Array(1f, 2f)), (1L, Array(1f, 2f, 3f))).toDF("g", "vec")
+    val ex = intercept[Exception] {
+      bad.groupBy("g").agg(vec_mean(F.col("vec"))).collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }
