@@ -300,4 +300,26 @@ class EdgeCasesSpec extends SparkTestBase {
       .head().getDouble(0)
     assert(math.abs(m - 24.0 / 25.0) < 1e-12)
   }
+
+  test("empty relations through the round-4 pipeline ops: empty out, no failure") {
+    import spark.implicits._
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val someDocs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    assert(graft.ops.FuzzyJoin.editDistancePairs(noDocs, "doc_id", "text").count() === 0L)
+    // empty benchmark: nothing is contaminated; empty corpus: no hits
+    assert(graft.ops.Decontaminate.overlapHits(
+      someDocs, "doc_id", "text", noDocs, "text", n = 2).count() === 0L)
+    assert(graft.ops.Decontaminate.overlapHits(
+      noDocs, "doc_id", "text", someDocs, "text", n = 2).count() === 0L)
+    assert(graft.ops.Decontaminate.clean(
+      someDocs, "doc_id", "text", noDocs, "text", n = 2).count() === 1L)
+    val noLines = Seq.empty[(Long, Seq[String])].toDF("doc_id", "lines")
+    assert(graft.ops.Dedup.lineDedup(noLines, "doc_id", "lines").count() === 0L)
+    assert(graft.ops.TextAnalysis.repetitionSignals(noDocs, "doc_id", "text").count() === 0L)
+    import graft.spark.functions.vec_mean
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("g", "vec")
+    assert(noVecs.groupBy("g").agg(vec_mean(F.col("vec"))).count() === 0L)
+    // global (no groupBy) vec_mean over empty input: one null row
+    assert(noVecs.agg(vec_mean(F.col("vec"))).head().isNullAt(0))
+  }
 }
