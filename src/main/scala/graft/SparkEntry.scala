@@ -913,6 +913,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // SNAPSHOT DIFF: the previous snapshot is synthesized from the
+    // corpus (every 11th doc not yet present -> added; every 13th
+    // carried older text -> changed; retired ids beyond the corpus ->
+    // removed). The engine classifies by content hash, the oracle by
+    // text equality — identical absent 64-bit collisions.
+    "snapshot_diff" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val prev = docs.filter(F.col("doc_id") % 11 =!= 0)
+        .select(F.col("doc_id"),
+          F.when(F.col("doc_id") % 13 === 0,
+            F.concat(F.col("text"), F.lit(" legacy"))).otherwise(F.col("text"))
+            .as("text"))
+        .unionByName(docs.filter(F.col("doc_id") % 17 === 0)
+          .select((F.col("doc_id") + 1000000L).as("doc_id"),
+            F.concat(F.lit("retired "), F.col("doc_id").cast("string")).as("text")))
+      graft.ops.SnapshotDiff.diff(prev, docs, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition signals: duplicate-chunk fraction (pure
     // projection) + top-bigram mass fraction ((id, bigram) partial
     // counts). Exact: integer counts, IEEE double division both sides.
@@ -1757,6 +1776,22 @@ object SparkEntry {
         |SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS kept_text,
         |       count(*) AS n_kept
         |FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "snapshot_diff" ->
+      """WITH prev AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' legacy' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'retired ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 17 = 0)
+        |SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+        |  CASE WHEN p.doc_id IS NULL THEN 'added'
+        |       WHEN c.doc_id IS NULL THEN 'removed'
+        |       WHEN p.text = c.text THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM prev p FULL OUTER JOIN documents c ON p.doc_id = c.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // same 10-token chunking and bigram windows; fractions are integer
     // ratios under IEEE double division in both engines

@@ -828,6 +828,21 @@ class OpsSpec extends SparkTestBase {
     assert(got(4L) === ((0L, 0.0, 0.0)))
   }
 
+  test("snapshotDiff: four statuses, null content is presence not absence, verify mode agrees") {
+    import spark.implicits._
+    val prev = Seq((1L, "same"), (2L, "old"), (3L, "gone"),
+      (5L, null: String), (6L, null: String)).toDF("doc_id", "text")
+    val cur = Seq((1L, "same"), (2L, "new"), (4L, "fresh"),
+      (5L, null: String), (6L, "materialized")).toDF("doc_id", "text")
+    val expected = Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged", 6L -> "changed")
+    for (verify <- Seq(false, true)) {
+      val got = graft.ops.SnapshotDiff.diff(prev, cur, "doc_id", "text", verify)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === expected, s"verifyByText=$verify")
+    }
+  }
+
   test("keepClusterRepresentatives: one survivor per cluster, unpaired docs intact") {
     import spark.implicits._
     val docs = (1L to 10L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
