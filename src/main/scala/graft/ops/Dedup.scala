@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.{DataFrame, functions => F}
 
 import graft.spark.functions.murmur64
 
@@ -17,41 +17,6 @@ import graft.spark.functions.murmur64
   *    a Hamming-distance verify (bit_count(xor) — codegen'd built-in).
   */
 object Dedup {
-
-  /** Most recent [[ngramJaccardPairs]] persisted shingle table per
-    * (session, shingle-config) — replaced (and the predecessor
-    * unpersisted) on each new same-config invocation, so repeated calls
-    * strand at most ONE cached copy per config, and two differently-
-    * configured pipelines in one session (e.g. the t=0.7 dedup query and
-    * the t=0.5 clustering input) stop stealing each other's cache. The
-    * outer map is WEAK on the session, so stopped sessions and their
-    * cached plans become collectable. */
-  private val ngramPersisted = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[(Int, Double), DataFrame]]())
-
-  private def registerNgramPersist(spark: SparkSession, n: Int,
-      threshold: Double, byDoc: DataFrame): Unit = {
-    val perSession = ngramPersisted.synchronized {
-      var m = ngramPersisted.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[(Int, Double), DataFrame]()
-        ngramPersisted.put(spark, m)
-      }
-      m
-    }
-    val prev = perSession.put((n, threshold), byDoc)
-    // CacheManager keys cached data by CANONICALIZED PLAN, not by Dataset
-    // reference: when a re-invocation rebuilds the identical plan (same
-    // input, same config — exactly what a benchmark's second pass does),
-    // the new persist() is a no-op against the predecessor's entry, and
-    // unpersisting the predecessor would evict the ONE shared entry,
-    // leaving the new invocation silently uncached (measured 7x on the
-    // t=0.5 clustering input). Same-semantics generations therefore
-    // share the entry and there is nothing to release.
-    if (prev != null && (prev ne byDoc) && !prev.sameSemantics(byDoc))
-      prev.unpersist(blocking = false)
-  }
 
   /** Exact duplicate groups by content hash: keeps the minimum id per
     * distinct text. Default shuffles 16 bytes/row regardless of document
@@ -282,7 +247,9 @@ object Dedup {
         F.transform(F.col("__ts"), t => t.getField("__tok")).as("__toks"),
         F.col("__sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    registerNgramPersist(df.sparkSession, n, threshold, byDoc)
+    // registry scopes the cache: strand cap 1 per (session, config);
+    // see PersistRegistry for the sameSemantics eviction rule
+    PersistRegistry.swap(df.sparkSession, ("ngram", n, threshold), Seq(byDoc))
     // prefix length |X| - ceil(t·|X|) + 1; the 1e-9 slack can only shrink
     // the ceil, i.e. LENGTHEN the prefix — always safe
     val plen = (F.col("__sz") -

@@ -32,38 +32,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
   */
 object FuzzyJoin {
 
-  /** Most recent persisted per-string gram tables per (session, maxEd,
-    * q) — same discipline as Dedup.ngramPersisted: each new same-config
-    * invocation replaces (and unpersists) its predecessor, capping the
-    * strand at one generation, and the WEAK outer key lets a stopped
-    * session's cache be collected. Persisting matters here because the
-    * prefix table is SELF-joined and `byStr` feeds two branches of it:
-    * unpersisted, the whole upstream (corpus scan, gram explode, df
-    * aggregation) re-executes once per branch per join side — Spark does
-    * not share common subplans across self-join branches. */
-  private val persisted = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[(Int, Int), Seq[DataFrame]]]())
-
-  private def registerPersist(spark: SparkSession, maxEd: Int, q: Int,
-      dfs: Seq[DataFrame]): Unit = {
-    val perSession = persisted.synchronized {
-      var m = persisted.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[(Int, Int), Seq[DataFrame]]()
-        persisted.put(spark, m)
-      }
-      m
-    }
-    val prev = perSession.put((maxEd, q), dfs)
-    // see Dedup.registerNgramPersist: same-semantics generations SHARE
-    // one CacheManager entry (keyed by canonicalized plan) — unpersisting
-    // the predecessor would evict the new generation's cache too
-    if (prev != null) prev
-      .filterNot(p => dfs.exists(d => (d eq p) || p.sameSemantics(d)))
-      .foreach(_.unpersist(blocking = false))
-  }
-
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
       maxEd: Int = 1, q: Int = 2): DataFrame = {
     require(maxEd >= 1, "maxEd must be >= 1")
@@ -93,10 +61,20 @@ object FuzzyJoin {
       .select(F.col("__id"), F.col("__s"), F.length(F.col("__s")).as("__len"),
         F.transform(F.col("__gs"), t => t.getField("__g")).as("__grams"))
       .persist(lvl)
-    registerPersist(df.sparkSession, maxEd, q, Seq(toks, byStr))
+    // persisting matters because the prefix table is SELF-joined and
+    // byStr feeds two branches of it plus both verify rejoins: Spark
+    // does not share common subplans across self-join branches; the
+    // registry scopes the cache (strand cap 1 per config per session)
+    PersistRegistry.swap(df.sparkSession, ("fuzzy", maxEd, q), Seq(toks, byStr))
 
     val plen = maxEd * q + 1
-    val gramPrefix = byStr.select(F.col("__id"), F.col("__s"), F.col("__len"),
+    // prefix rows carry ONLY (gram, id, length) — never the string: each
+    // string fans out into up to maxEd*q+1 prefix rows (plus the short-
+    // class length keys), and shipping the string per fanned row through
+    // both sides of the candidate join would multiply the exchange by
+    // the prefix count; the verify re-reads strings from the PERSISTED
+    // byStr for candidate pairs only
+    val gramPrefix = byStr.select(F.col("__id"), F.col("__len"),
       F.explode(F.slice(F.col("__grams"), 1, plen)).as("__g"))
     // short-string fallback: sentinel keys that cannot collide with real
     // grams (a q-gram is exactly q input chars; the sentinel is longer
@@ -104,21 +82,25 @@ object FuzzyJoin {
     // contains)
     val shortLen = maxEd * q + q
     val lenKeys = byStr.filter(F.col("__len") < shortLen)
-      .select(F.col("__id"), F.col("__s"), F.col("__len"),
+      .select(F.col("__id"), F.col("__len"),
         F.explode(F.sequence(F.col("__len") - maxEd, F.col("__len") + maxEd)).as("__lk"))
-      .select(F.col("__id"), F.col("__s"), F.col("__len"),
+      .select(F.col("__id"), F.col("__len"),
         F.concat(F.lit("\u0000len:"), F.col("__lk").cast("string")).as("__g"))
     val prefix = gramPrefix.unionByName(lenKeys)
 
-    prefix
-      .select(F.col("__g"), F.col("__id").as("id_a"),
-        F.col("__s").as("str_a"), F.col("__len").as("__la"))
+    val cand = prefix
+      .select(F.col("__g"), F.col("__id").as("id_a"), F.col("__len").as("__la"))
       .join(prefix.select(F.col("__g"), F.col("__id").as("id_b"),
-        F.col("__s").as("str_b"), F.col("__len").as("__lb")), Seq("__g"))
+        F.col("__len").as("__lb")), Seq("__g"))
       .filter(F.col("id_a") < F.col("id_b"))
       .filter(F.abs(F.col("__la") - F.col("__lb")) <= maxEd)
-      .select("id_a", "id_b", "str_a", "str_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    cand
+      .join(byStr.select(F.col("__id").as("id_a"), F.col("__s").as("str_a")),
+        Seq("id_a"))
+      .join(byStr.select(F.col("__id").as("id_b"), F.col("__s").as("str_b")),
+        Seq("id_b"))
       .withColumn("ed", F.levenshtein(F.col("str_a"), F.col("str_b")))
       .filter(F.col("ed") <= maxEd)
       .select(F.col("id_a"), F.col("id_b"), F.col("ed"))

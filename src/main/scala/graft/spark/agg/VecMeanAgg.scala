@@ -97,8 +97,11 @@ case class VecMeanAgg(
   }
 
   override def serialize(buffer: VecSumBuf): Array[Byte] = {
-    val dims = if (buffer.sums == null) 0 else buffer.sums.length
-    val buf = ByteBuffer.allocate(4 + 8 + 8 * dims)
+    // dims = -1 encodes "no vector seen yet" (sums null); 0 is a REAL
+    // state (a group of zero-length vectors) and must round-trip as an
+    // allocated empty array, or merge() on the final side NPEs
+    val dims = if (buffer.sums == null) -1 else buffer.sums.length
+    val buf = ByteBuffer.allocate(4 + 8 + 8 * math.max(dims, 0))
     buf.putInt(dims)
     buf.putLong(buffer.count)
     var i = 0
@@ -110,12 +113,10 @@ case class VecMeanAgg(
     val buf = ByteBuffer.wrap(bytes)
     val dims = buf.getInt()
     val b = new VecSumBuf
-    if (dims > 0) {
-      b.ensure(dims, prettyName)
-      b.count = buf.getLong()
-      var i = 0
-      while (i < dims) { b.sums(i) = buf.getDouble(); i += 1 }
-    } else b.count = buf.getLong()
+    if (dims >= 0) b.ensure(dims, prettyName)
+    b.count = buf.getLong()
+    var i = 0
+    while (i < dims) { b.sums(i) = buf.getDouble(); i += 1 }
     b
   }
 
