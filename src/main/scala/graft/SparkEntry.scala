@@ -950,6 +950,50 @@ object SparkEntry {
         .orderBy("doc_id", "rank")
     }),
 
+    // CONTEXT-WINDOW chunking: 64-token windows every 48 tokens
+    // (16-token overlap), tail kept unpadded — a pure projection, the
+    // long-document split step of sequence preparation. Exact: integer
+    // chunk-start arithmetic, identical tokenization both engines.
+    "doc_chunking" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      graft.ops.Sequencing.chunk(docs, "doc_id", "text", window = 64, stride = 48)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // SEQUENCE PACKING: global token offsets + capacity-2048 shard
+    // assignment in doc_id order via the two-level prefix scan (never a
+    // single-partition global window — PlanAudit checks). Exact: the
+    // running total is integer arithmetic; the oracle computes the same
+    // cumulative sum with a plain window.
+    "sequence_pack" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+        .select(F.col("doc_id"),
+          F.size(graft.ops.Decontaminate.tokens(F.col("text"))).as("n_tokens"))
+      graft.ops.Sequencing.packSequences(docs, "doc_id", "n_tokens",
+        capacity = 2048, bucketWidth = 100)
+        .orderBy("doc_id")
+    }),
+
+    // PII scrub: emails/phones planted deterministically (the corpus has
+    // none), redacted with placeholder tokens, counted from the original
+    // text. Patterns stay in the regex subset Java and RE2 share, so the
+    // scrubbed strings and counts are engine-exact.
+    "pii_scrub" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val planted = docs.select(F.col("doc_id"), F.concat(F.col("text"),
+        F.when(F.col("doc_id") % 7 === 0,
+          F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com now"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 === 0,
+          F.concat(F.lit(" call 555-010-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0")))
+          .otherwise(F.lit(""))).as("text"))
+      graft.ops.Redact.scrub(planted, "text")
+        .select(F.col("doc_id"), F.col("scrubbed_text"),
+          F.col("n_email"), F.col("n_phone"))
+        .orderBy("doc_id")
+    }),
+
     // SKETCH-DRIVEN curation: the length filter's thresholds come FROM
     // the engine's own KLL sketch (p5/p95 of the token count) instead of
     // hand-set constants — the standard "profile, then filter" loop, one
@@ -1776,6 +1820,55 @@ object SparkEntry {
         |SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS kept_text,
         |       count(*) AS n_kept
         |FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // identical tokenization; chunk starts are the same integer-ceil
+    // multiples of the stride; DuckDB list slices are 1-based inclusive,
+    // matching slice(w, st+1, 64)
+    "doc_chunking" ->
+      """WITH tok AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        |s AS (SELECT doc_id, w, len(w) AS n FROM tok WHERE len(w) > 0),
+        |g AS (SELECT doc_id, w, n,
+        |        unnest(range(0, ((greatest(n - 64, 0) + 47) // 48) * 48 + 1, 48)) AS st
+        |      FROM s)
+        |SELECT doc_id, st // 48 AS chunk_idx,
+        |  array_to_string(w[st+1:st+64], ' ') AS chunk_text,
+        |  least(64, n - st) AS n_tokens
+        |FROM g ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // the engine's two-level scan must equal the plain global window
+    // cumulative sum (integer totals; HUGEINT cast back to BIGINT)
+    "sequence_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, n, CAST(sum(n) OVER (
+        |        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum FROM t)
+        |SELECT doc_id, n AS n_tokens, cum - n AS start_offset,
+        |  (cum - n) // 2048 AS bin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // same planted PII, same patterns (shared Java/RE2 subset), counts
+    // from the original text, replacements applied email-then-phone
+    "pii_scrub" ->
+      """WITH p AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed_text,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "snapshot_diff" ->
       """WITH prev AS (

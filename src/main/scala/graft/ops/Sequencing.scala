@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Sequence-shaping ops for training-data preparation: context-window
+  * chunking (split long documents into overlapping token windows) and
+  * deterministic contiguous packing (assign each document its byte/token
+  * offset and shard in one global stream — the "concatenate everything
+  * and cut every C tokens" layout every autoregressive training run
+  * feeds on).
+  *
+  * Packing needs a GLOBAL running total, which naive
+  * `Window.orderBy(id)` computes on a single partition — a non-starter
+  * at corpus scale. [[prefixSum]] is the classic two-level scan instead:
+  * a parallel per-bucket cumulative sum plus a tiny bucket-offset
+  * table, all declarative (no mapPartitions, no driver collect).
+  */
+object Sequencing {
+
+  /** Exact floor division of a NON-NEGATIVE column by a positive
+    * constant. `a / c` on columns is DOUBLE division, whose half-ulp
+    * rounding can cross an integer boundary once numerators reach
+    * corpus-scale token offsets; subtracting the remainder first makes
+    * the quotient an exact integer, which IEEE division returns
+    * exactly (any integer up to 2^53 is representable). */
+  private def idiv(a: Column, c: Long): Column =
+    ((a - F.pmod(a, F.lit(c))) / F.lit(c)).cast("long")
+
+  /** Split each document into token windows of `window` tokens taken
+    * every `stride` tokens (stride < window ⇒ overlapping chunks, the
+    * usual long-context training layout). Output: (idCol, chunk_idx,
+    * chunk_text, n_tokens), where the last chunk keeps the tail
+    * (n_tokens < window) rather than padding, and empty documents
+    * produce no rows.
+    *
+    * Pure projection — no shuffle at all; chunk starts are integer
+    * arithmetic (never floating ceil) so any SQL engine reproduces them
+    * bit-for-bit.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(stride >= 1 && stride <= window, "stride must be in [1, window]")
+    val w = Decontaminate.tokens(F.col(textCol))
+    val n = F.size(w)
+    // last start = smallest multiple of stride covering token n-1:
+    // ceil((n-window)/stride)*stride, clamped at 0 — integer ceil via
+    // (x + stride - 1) div stride on the non-negative overflow
+    val lastStart =
+      idiv(F.greatest(n - window, F.lit(0)).cast("long") + (stride - 1),
+        stride) * stride
+    val starts = F.when(n > 0, F.sequence(F.lit(0L), lastStart, F.lit(stride.toLong)))
+      .otherwise(F.array().cast("array<long>"))
+    df.select(F.col(idCol), w.as("__w"), n.as("__n"),
+        F.explode(starts).as("__st"))
+      .select(F.col(idCol),
+        idiv(F.col("__st"), stride).as("chunk_idx"),
+        F.array_join(F.slice(F.col("__w"), (F.col("__st") + 1).cast("int"),
+          F.lit(window)), " ").as("chunk_text"),
+        F.least(F.lit(window.toLong), F.col("__n") - F.col("__st")).as("n_tokens"))
+  }
+
+  /** Global inclusive running total of `valueCol` in `orderCol` order,
+    * added as column `cumCol` — the scalable two-level scan. `bucket`
+    * MUST be monotonic non-decreasing in `orderCol` (e.g.
+    * `floor(id / width)` for a numeric id); `orderCol` must be unique.
+    *
+    * Shape: one shuffle clusters rows by bucket for the parallel
+    * within-bucket cumulative window; bucket totals partial-aggregate
+    * map-side to an O(buckets) table whose own prefix sum runs on one
+    * partition (fine — thousands of rows), and rejoins by broadcast.
+    * Nothing ever funnels the DATA through one partition.
+    */
+  def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
+      bucket: Column, cumCol: String = "cum"): DataFrame = {
+    val withB = df.withColumn("__b", bucket)
+    val local = F.sum(F.col(valueCol)).over(
+      Window.partitionBy(F.col("__b")).orderBy(F.col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    // offset of each bucket = sum of all PRECEDING buckets' totals
+    val totals = withB.groupBy(F.col("__b"))
+      .agg(F.sum(F.col(valueCol)).as("__bt"))
+    val offsets = totals.select(F.col("__b"),
+      F.coalesce(F.sum(F.col("__bt")).over(
+        Window.orderBy(F.col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), F.lit(0L)).as("__off"))
+    withB.withColumn("__local", local)
+      .join(F.broadcast(offsets), Seq("__b"))
+      .withColumn(cumCol, F.col("__local") + F.col("__off"))
+      .drop("__b", "__local", "__off")
+  }
+
+  /** Contiguous greedy packing of the corpus token stream into
+    * capacity-`capacity` shards: documents concatenate in `idCol`
+    * order; each gets its global `start_offset` and the shard (`bin`)
+    * its first token lands in — documents may straddle a boundary, as
+    * in a packed autoregressive token stream. Ids must be
+    * non-negative. Output: (idCol, n_tokens, start_offset, bin).
+    *
+    * `bucketWidth` groups ids for the two-level scan; any width works
+    * (result is width-independent), it only tunes scan parallelism —
+    * pick ~corpus/100k so each bucket holds a few thousand docs.
+    */
+  def packSequences(df: DataFrame, idCol: String, nTokensCol: String,
+      capacity: Long, bucketWidth: Long = 10000L): DataFrame = {
+    require(capacity >= 1, "capacity must be >= 1")
+    require(bucketWidth >= 1, "bucketWidth must be >= 1")
+    val cum = prefixSum(
+      df.select(F.col(idCol), F.col(nTokensCol).cast("long").as("n_tokens")),
+      idCol, "n_tokens", idiv(F.col(idCol).cast("long"), bucketWidth),
+      cumCol = "__cum")
+    cum.select(F.col(idCol), F.col("n_tokens"),
+        (F.col("__cum") - F.col("n_tokens")).as("start_offset"),
+        idiv(F.col("__cum") - F.col("n_tokens"), capacity).as("bin"))
+  }
+}

@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
+
+import graft.spark.SparkTestBase
+
+/** Sequencing (chunking + two-level prefix scan + packing) and Redact
+  * (pattern scrubbing) over the driver's documents table plus
+  * constructed edge cases.
+  */
+class SequencingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet").cache()
+
+  test("chunk with stride == window partitions the token stream exactly") {
+    val out = Sequencing.chunk(docs, "doc_id", "text", window = 32, stride = 32)
+    // reassembling the chunks in order reproduces the tokenized document
+    val reassembled = out.groupBy("doc_id")
+      .agg(F.concat_ws(" ", F.array_sort(F.collect_list(
+        F.struct(F.col("chunk_idx"), F.col("chunk_text"))))
+        .getField("chunk_text")).as("rebuilt"),
+        F.sum("n_tokens").as("total"))
+    val expected = docs.select(F.col("doc_id"),
+      F.concat_ws(" ", Decontaminate.tokens(F.col("text"))).as("orig"),
+      F.size(Decontaminate.tokens(F.col("text"))).cast("long").as("n"))
+    val joined = reassembled.join(expected, "doc_id")
+    assert(joined.filter(F.col("rebuilt") =!= F.col("orig")).count() === 0)
+    assert(joined.filter(F.col("total") =!= F.col("n")).count() === 0)
+    // non-empty docs all produce ceil(n/32) chunks
+    val bad = joined.join(
+      out.groupBy("doc_id").agg(F.count(F.lit(1)).as("n_chunks")), "doc_id")
+      .filter(F.col("n_chunks") =!= F.ceil(F.col("n") / F.lit(32.0)).cast("long"))
+    assert(bad.count() === 0)
+  }
+
+  test("chunk with overlap: consecutive full chunks share window-stride tokens") {
+    val (w, s) = (24, 16)
+    val out = Sequencing.chunk(docs, "doc_id", "text", w, s).cache()
+    val a = out.select(F.col("doc_id"), F.col("chunk_idx"),
+      F.split(F.col("chunk_text"), " ").as("toks"), F.col("n_tokens"))
+    val pairs = a.as("x").join(a.as("y"),
+      F.col("x.doc_id") === F.col("y.doc_id") &&
+        F.col("y.chunk_idx") === F.col("x.chunk_idx") + 1)
+      .filter(F.col("x.n_tokens") === w) // x is a full chunk
+    val mismatched = pairs.filter(
+      F.slice(F.col("x.toks"), s + 1, w - s) =!=
+        F.slice(F.col("y.toks"), 1, w - s))
+    assert(pairs.count() > 0)
+    assert(mismatched.count() === 0)
+    out.unpersist()
+  }
+
+  test("chunk edges: empty text drops, short doc yields one whole-doc chunk") {
+    val edge = Seq((1L, ""), (2L, "   "), (3L, "just five little words here"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Sequencing.chunk(edge, "doc_id", "text", window = 64, stride = 48)
+      .collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("doc_id") === 3L)
+    assert(out(0).getAs[Long]("chunk_idx") === 0L)
+    assert(out(0).getAs[String]("chunk_text") === "just five little words here")
+    assert(out(0).getAs[Long]("n_tokens") === 5L)
+  }
+
+  test("prefixSum equals the single-partition window under any bucketing") {
+    val vals = docs.select(F.col("doc_id"),
+      F.size(Decontaminate.tokens(F.col("text"))).cast("long").as("v"))
+    val expected = vals.withColumn("cum",
+      F.sum("v").over(Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("doc_id", "cum")
+    for (width <- Seq(1L, 7L, 100L, 1000000L);
+         parts <- Seq(1, 5)) {
+      val got = Sequencing.prefixSum(vals.repartition(parts), "doc_id", "v",
+        F.floor(F.col("doc_id") / width).cast("long"))
+        .select("doc_id", "cum")
+      assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+        s"prefixSum diverges at width=$width parts=$parts")
+    }
+  }
+
+  test("packSequences: offsets are the exclusive running total, bins contiguous") {
+    val vals = docs.select(F.col("doc_id"),
+      F.size(Decontaminate.tokens(F.col("text"))).as("n_tokens"))
+    val out = Sequencing.packSequences(vals, "doc_id", "n_tokens",
+      capacity = 512, bucketWidth = 37).cache()
+    val rows = out.orderBy("doc_id").collect()
+    var cum = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("start_offset") === cum,
+        s"offset mismatch at doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Long]("bin") === cum / 512)
+      cum += r.getAs[Long]("n_tokens")
+    }
+    // bucketWidth must not change the result
+    val other = Sequencing.packSequences(vals, "doc_id", "n_tokens",
+      capacity = 512, bucketWidth = 9999)
+    assert(out.exceptAll(other).isEmpty && other.exceptAll(out).isEmpty)
+    // bins cover 0..maxBin with no gaps (contiguous packing)
+    val bins = out.select("bin").distinct().orderBy("bin").as[Long].collect()
+    assert(bins.toSeq === (0L to bins.max).toSeq)
+    out.unpersist()
+  }
+
+  test("packSequences on an empty input yields no rows") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens")
+    assert(Sequencing.packSequences(empty, "doc_id", "n_tokens", 512).count() === 0)
+  }
+
+  test("Redact scrubs planted PII, counts from the original, and is idempotent") {
+    val rows = Seq(
+      (1L, "reach me at a.b+tag@mail-host.example.org or 415-555-0199 thanks"),
+      (2L, "two mails x@y.io and w.z@q.co plus 212-555-0100 and 646-555-0101"),
+      (3L, "clean text with no secrets at all"),
+      (4L, "not-a-mail @ nothing and 12-345-6789 is not a phone"))
+      .toDF("doc_id", "text")
+    val out = Redact.scrub(rows, "text").orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("scrubbed_text") ===
+      "reach me at <EMAIL> or <PHONE> thanks")
+    assert(out(0).getAs[Long]("n_email") === 1L)
+    assert(out(0).getAs[Long]("n_phone") === 1L)
+    assert(out(1).getAs[Long]("n_email") === 2L)
+    assert(out(1).getAs[Long]("n_phone") === 2L)
+    assert(out(2).getAs[String]("scrubbed_text") ===
+      "clean text with no secrets at all")
+    assert(out(2).getAs[Long]("n_email") === 0L)
+    assert(out(3).getAs[Long]("n_email") === 0L)
+    assert(out(3).getAs[Long]("n_phone") === 0L)
+    // idempotent: scrubbing the scrubbed output finds nothing new
+    val again = Redact.scrub(
+      rows.select(F.col("doc_id")).join(
+        Redact.scrub(rows, "text").select("doc_id", "scrubbed_text"), "doc_id"),
+      "scrubbed_text", scrubbedCol = "s2")
+    assert(again.agg(F.sum("n_email"), F.sum("n_phone")).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long]).sum === 0L)
+  }
+}
