@@ -1474,6 +1474,66 @@ object SparkEntry {
         .orderBy("conv_id")
     }),
 
+    // the transcript tool-usage rollup through the REAL Structured
+    // Streaming engine (streaming_windowed_counts pattern, transcript-
+    // native): tool turns stream in three watermark-ordered micro-batches
+    // (early/late halves split on the ts midpoint, so windows straddling
+    // the split accumulate state across batches), append-mode 1-day
+    // windowed counts gated by a 1-minute watermark, then a punctuation
+    // batch 3 days past max(ts) advances the watermark past every real
+    // window — the memory sink must equal the batch rollup: exact oracle.
+    "streaming_transcript_windowed" -> ((s, dir) => {
+      val t = graft.data.TranscriptFixture.frame(s)
+        .filter(F.col("tool").isNotNull)
+        .select(F.col("conv_id"), F.col("ts"), F.col("tool"))
+      val mm = t.agg(F.min(F.col("ts")), F.max(F.col("ts"))).head()
+      val lo = mm.getTimestamp(0).getTime
+      val hi = mm.getTimestamp(1).getTime
+      val staged = stagingDir("graft_stw_in")
+      def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = stagingDir("graft_stw_tmp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = {
+          val l = java.nio.file.Files.list(tmp)
+          try l.filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally l.close()
+        }
+        val dst = staged.resolve(name)
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val cutoff = F.lit(new java.sql.Timestamp((lo + hi) / 2))
+      stage(t.filter(F.col("ts") < cutoff), "batch-0.parquet", 1600000000000L)
+      stage(t.filter(F.col("ts") >= cutoff), "batch-1.parquet", 1600000060000L)
+      stage(t.limit(1).select(F.col("conv_id"),
+        F.lit(new java.sql.Timestamp(hi + 3L * 86400000L)).as("ts"),
+        F.lit("zz_punct").as("tool")), "batch-2.parquet", 1600000120000L)
+      val stream = s.readStream.schema(t.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged.toString)
+      val name = s"stw_out_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q =
+        try {
+          stream.withWatermark("ts", "1 minute")
+            .groupBy(F.window(F.col("ts"), "1 day").as("w"), F.col("tool"))
+            .agg(F.count(F.lit(1)).as("n_turns"))
+            .select(F.col("w.start").as("w_start"),
+              F.col("tool").as("tool_name"), F.col("n_turns"))
+            .writeStream
+            .outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      q.awaitTermination()
+      s.table(name).orderBy("w_start", "tool_name")
+    }),
+
     // as-of over transcripts: attach to each user turn the most recent
     // (<=) tool invocation in the same conversation — the "what context
     // did the model have" join every agent-transcript pipeline runs.
@@ -2299,6 +2359,15 @@ object SparkEntry {
       s"""SELECT DISTINCT conv_id FROM ${graft.data.TranscriptFixture.OracleGlob}
         |WHERE CAST(substr(conv_id, 6) AS INT) % 2 = 0
         |ORDER BY conv_id""".stripMargin,
+
+    // the watermark-emitted stream equals the batch rollup; the
+    // punctuation window is withheld by the engine and absent here
+    "streaming_transcript_windowed" ->
+      s"""SELECT time_bucket(INTERVAL 1 DAY, ts) AS w_start, tool AS tool_name,
+        |  count(*) AS n_turns
+        |FROM ${graft.data.TranscriptFixture.OracleGlob}
+        |WHERE tool IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY w_start, tool_name""".stripMargin,
 
     "transcript_asof_tool" ->
       s"""WITH tools AS (
