@@ -369,6 +369,19 @@ object SparkEntry {
         .orderBy("lang", "split")
     }),
 
+    // deterministic mixture sampling: per-language target rates
+    // (power-of-two => exact hash-space thresholds) — the training-data
+    // MIXING step (re-weight languages toward a target distribution) as
+    // a pure shuffle-free projection; kept sets are nested across rates.
+    // Exact DuckDB oracle on the kept row set.
+    "mixture_sample" -> ((s, dir) => {
+      val hv = (F.col("doc_id") * F.lit(2654435761L)) % F.lit(4294967296L)
+      graft.ops.Sampling.mixtureSample(read(s, dir, "documents"),
+          "lang", hv, Map("en" -> 0.25, "de" -> 0.5, "fr" -> 1.0), 0.125)
+        .select(F.col("lang"), F.col("doc_id"))
+        .orderBy("lang", "doc_id")
+    }),
+
     // analytic window functions over a keyed partition (SURVEY §2.5):
     // per-customer order ranking, previous-order delta, and running
     // total — the window shapes the kv/get semantics build on, as one
@@ -1641,6 +1654,15 @@ object SparkEntry {
         |)
         |SELECT lang, split, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS min_id
         |FROM s GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
+    // per-language rates 1/4, 1/2, 1, default 1/8 — thresholds are exact
+    // integers in the 2^32 hash space
+    "mixture_sample" ->
+      """SELECT lang, doc_id FROM documents
+        |WHERE (doc_id * 2654435761) % 4294967296 <
+        |  CASE lang WHEN 'en' THEN 1073741824 WHEN 'de' THEN 2147483648
+        |       WHEN 'fr' THEN 4294967296 ELSE 536870912 END
+        |ORDER BY lang, doc_id""".stripMargin,
 
     "stratified_sample" ->
       """WITH h AS (

@@ -87,4 +87,35 @@ object Sampling {
     }
     df.withColumn("split", split)
   }
+
+  /** Deterministic mixture sampling: down-sample each stratum at its own
+    * target rate — the training-data MIXING step (re-weighting languages
+    * / sources / quality buckets toward a target distribution). A row is
+    * kept iff its 32-bit id hash lands below floor(rate(stratum)·2^32),
+    * so power-of-two rates cut the hash space exactly.
+    *
+    * Pure projection + filter: no shuffle, no state, stable under any
+    * partitioning — the one sampling shape that costs literally nothing
+    * extra at corpus scale. With a bijective id hash the kept set is
+    * exactly reproducible, and samples are NESTED across rates
+    * (rate r1 <= r2 ⇒ keep(r1) ⊆ keep(r2)), which is what makes
+    * mixture re-tuning cheap: lowering a stratum's rate only removes
+    * rows, it never reshuffles the kept set.
+    *
+    * Strata absent from `rates` fall back to `defaultRate`. The hash is
+    * folded into the unsigned 32-bit ring first (same signed-hash trap
+    * as [[weightedSample]]). */
+  def mixtureSample(df: DataFrame, stratumCol: String, hashCol: Column,
+      rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0.0 && r <= 1.0),
+      "rates must be in [0, 1]")
+    def thr(r: Double): Long = math.floor(r * 4294967296.0).toLong
+    // deterministic CASE chain (sorted keys) so the plan is stable
+    val threshold = rates.toSeq.sortBy(_._1).foldRight(
+      F.lit(thr(defaultRate)): Column) { case ((s, r), rest) =>
+      F.when(F.col(stratumCol) === s, F.lit(thr(r))).otherwise(rest)
+    }
+    val u = F.pmod(hashCol.cast("long"), F.lit(4294967296L))
+    df.filter(u < threshold)
+  }
 }

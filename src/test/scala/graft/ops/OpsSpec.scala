@@ -239,6 +239,39 @@ class OpsSpec extends SparkTestBase {
     assert(e.getMessage.contains("sum to 1"))
   }
 
+  test("mixtureSample: exact thresholds, nested across rates, shuffle-free") {
+    import spark.implicits._
+    val df = (0L until 4096L).toDF("id")
+      .withColumn("lang", F.when(F.col("id") % 3 === 0, "en")
+        .when(F.col("id") % 3 === 1, "de").otherwise("xx"))
+    val hv = (F.col("id") * F.lit(2654435761L)) % F.lit(4294967296L)
+    def keep(rates: Map[String, Double], d: Double) =
+      graft.ops.Sampling.mixtureSample(df, "lang", hv, rates, d)
+        .collect().map(_.getLong(0)).toSet
+    val half = keep(Map("en" -> 0.5, "de" -> 0.25), 0.125)
+    // exact membership: the kept set IS the hash-threshold predicate
+    val expected = (0L until 4096L).filter { id =>
+      val u = java.lang.Long.remainderUnsigned(id * 2654435761L, 4294967296L)
+      val r = (id % 3) match { case 0 => 0.5; case 1 => 0.25; case _ => 0.125 }
+      u < (r * 4294967296.0).toLong
+    }.toSet
+    assert(half === expected)
+    // nested: halving every rate only removes rows
+    val quarter = keep(Map("en" -> 0.25, "de" -> 0.125), 0.0625)
+    assert(quarter.subsetOf(half))
+    // rate 1 keeps everything, rate 0 keeps nothing
+    assert(keep(Map.empty, 1.0).size === 4096)
+    assert(keep(Map.empty, 0.0).isEmpty)
+    // pure projection: no exchange in the plan
+    val plan = graft.ops.Sampling.mixtureSample(df, "lang", hv, Map("en" -> 0.5), 0.1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Sampling.mixtureSample(df, "lang", hv, Map("en" -> 1.5))
+    }
+    assert(e.getMessage.contains("rates"))
+  }
+
   test("bucketed tables co-locate the join: sort-merge with zero exchanges") {
     // the 100 TB co-location story: both sides bucketed on the join key
     // with the same bucket count join WITHOUT any shuffle
