@@ -1607,6 +1607,48 @@ object SparkEntry {
         .agg(F.sum(F.col("pc")).as("n_turns"), F.sum(F.col("pl")).as("n_chars"))
         .orderBy(F.col("n_turns").desc, F.col("conv_id"))
         .limit(20)
+    }),
+
+    // chat-template rendering: each conversation becomes ONE training
+    // sample — turns in stable (conv_id, turn_idx) order, role/tool
+    // markers, newline-joined (Conversations.render: single
+    // groupBy(conv) shuffle, in-row sort restores collect_list
+    // determinism). Exact oracle via DuckDB's ordered string_agg.
+    "transcript_render" -> ((s, dir) => {
+      val t = graft.data.TranscriptFixture.frame(s)
+      graft.ops.Conversations.render(t, "conv_id", "turn_idx",
+          graft.ops.Conversations.turnLine(
+            F.col("role"), F.col("tool"), F.col("text")))
+        .orderBy("conv_id")
+    }),
+
+    // context-window truncation: keep each conversation's longest
+    // suffix of turns totalling <= 400 whitespace tokens (the "fit the
+    // context window, keep the most recent turns" step). One window
+    // shuffle; the suffix sum is the filter column, so the oracle
+    // re-derives the identical cut point.
+    "transcript_truncate_budget" -> ((s, dir) => {
+      val t = graft.data.TranscriptFixture.frame(s)
+      val nTok = F.size(F.split(F.col("text"), " "))
+      graft.ops.Conversations.truncateToBudget(
+          t, "conv_id", "turn_idx", nTok, 400L)
+        .select(F.col("conv_id"), F.col("turn_idx"),
+          nTok.cast("long").as("n_tokens"), F.col("suffix_tokens"))
+        .orderBy("conv_id", "turn_idx")
+    }),
+
+    // SFT pair extraction: for every assistant turn with a preceding
+    // turn, the previous up-to-3 turns (rendered, ALL roles — lags run
+    // before the target filter so contexts never splice non-adjacent
+    // turns) as context_text, the assistant text as target_text.
+    "transcript_sft_pairs" -> ((s, dir) => {
+      val t = graft.data.TranscriptFixture.frame(s)
+      graft.ops.Conversations.contextTargetPairs(
+          t, "conv_id", "turn_idx", "text",
+          graft.ops.Conversations.turnLine(
+            F.col("role"), F.col("tool"), F.col("text")),
+          F.col("role") === "assistant", k = 3)
+        .orderBy("conv_id", "target_idx")
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2425,5 +2467,54 @@ object SparkEntry {
       s"""SELECT conv_id, count(*) AS n_turns,
         |  CAST(sum(length(text)) AS BIGINT) AS n_chars
         |FROM ${graft.data.TranscriptFixture.OracleGlob}
-        |GROUP BY conv_id ORDER BY n_turns DESC, conv_id LIMIT 20""".stripMargin)
+        |GROUP BY conv_id ORDER BY n_turns DESC, conv_id LIMIT 20""".stripMargin,
+
+    // ordered string_agg re-derives the chat-template sample
+    "transcript_render" ->
+      s"""SELECT conv_id,
+        |  string_agg('<|' || role ||
+        |      CASE WHEN tool IS NOT NULL THEN ':' || tool ELSE '' END ||
+        |      '|> ' || text, chr(10) ORDER BY turn_idx) AS sample_text,
+        |  count(*) AS n_turns
+        |FROM ${graft.data.TranscriptFixture.OracleGlob}
+        |GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+
+    // suffix token totals in descending turn order; <= 400 selects the
+    // kept contiguous suffix
+    "transcript_truncate_budget" ->
+      s"""WITH t AS (
+        |  SELECT conv_id, turn_idx,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM ${graft.data.TranscriptFixture.OracleGlob}
+        |), c AS (
+        |  SELECT conv_id, turn_idx, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS suffix_tokens
+        |  FROM t
+        |)
+        |SELECT conv_id, turn_idx, n_tokens, suffix_tokens FROM c
+        |WHERE suffix_tokens <= 400 ORDER BY conv_id, turn_idx""".stripMargin,
+
+    // lag over ALL turns, filter to assistant targets after; concat_ws
+    // skips the NULL lags past the conversation head in both engines
+    "transcript_sft_pairs" ->
+      s"""WITH r AS (
+        |  SELECT conv_id, turn_idx, role, text,
+        |    '<|' || role ||
+        |      CASE WHEN tool IS NOT NULL THEN ':' || tool ELSE '' END ||
+        |      '|> ' || text AS line
+        |  FROM ${graft.data.TranscriptFixture.OracleGlob}
+        |), l AS (
+        |  SELECT conv_id, turn_idx, role, text,
+        |    lag(line, 3) OVER w AS l3, lag(line, 2) OVER w AS l2,
+        |    lag(line, 1) OVER w AS l1
+        |  FROM r
+        |  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        |)
+        |SELECT conv_id, turn_idx AS target_idx,
+        |  concat_ws(chr(10), l3, l2, l1) AS context_text,
+        |  text AS target_text
+        |FROM l WHERE role = 'assistant' AND l1 IS NOT NULL
+        |ORDER BY conv_id, target_idx""".stripMargin)
 }
