@@ -1609,6 +1609,36 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // data-quality expectations gate (Validate): three row predicates
+    // plus a uniqueness constraint evaluated in ONE aggregation pass
+    // (the exchange carries counters, never rows), and a referential
+    // check as one left join + count. Violations planted
+    // deterministically (7 null custkeys + negative prices, 5
+    // duplicated orderkeys, 3 dangling custkeys) so every counter is
+    // exercised; exact DuckDB oracle recomputes each count.
+    "data_quality_report" -> ((s, dir) => {
+      val o = read(s, dir, "orders")
+      def low(n: Int) = o.orderBy("o_orderkey").limit(n)
+      val nullCust = low(7)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 900000000L)
+        .withColumn("o_custkey", F.lit(null).cast("long"))
+        .withColumn("o_totalprice", F.lit(-5.0))
+      val dangling = low(3)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 910000000L)
+        .withColumn("o_custkey", F.lit(888888888L))
+      val corpus = o.unionByName(nullCust).unionByName(low(5))
+        .unionByName(dangling)
+      graft.ops.Validate.combine(
+        graft.ops.Validate.report(corpus,
+          Seq(
+            "custkey_not_null" -> F.col("o_custkey").isNotNull,
+            "price_positive" -> (F.col("o_totalprice") > 0.0),
+            "status_valid" -> F.col("o_orderstatus").isin("O", "F", "P")),
+          Seq("orderkey_unique" -> Seq("o_orderkey"))),
+        graft.ops.Validate.refViolations(corpus, "custkey_in_customer",
+          F.col("o_custkey"), read(s, dir, "customer"), F.col("c_custkey")))
+    }),
+
     // chat-template rendering: each conversation becomes ONE training
     // sample — turns in stable (conv_id, turn_idx) order, role/tool
     // markers, newline-joined (Conversations.render: single
@@ -2468,6 +2498,50 @@ object SparkEntry {
         |  CAST(sum(length(text)) AS BIGINT) AS n_chars
         |FROM ${graft.data.TranscriptFixture.OracleGlob}
         |GROUP BY conv_id ORDER BY n_turns DESC, conv_id LIMIT 20""".stripMargin,
+
+    // each check's violation count recomputed independently; the same
+    // deterministic planting (lowest orderkeys) rebuilt in SQL
+    "data_quality_report" ->
+      """WITH corpus AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 900000000, NULL, o_orderstatus, -5.0
+        |  FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 7)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 5)
+        |  UNION ALL
+        |  SELECT o_orderkey + 910000000, 888888888, o_orderstatus, o_totalprice
+        |  FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 3)
+        |), checks AS (
+        |  SELECT 'custkey_not_null' AS check_name,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violations
+        |  FROM corpus
+        |  UNION ALL
+        |  SELECT 'price_positive', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |  FROM corpus
+        |  UNION ALL
+        |  SELECT 'status_valid', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)
+        |      AS BIGINT)
+        |  FROM corpus
+        |  UNION ALL
+        |  SELECT 'orderkey_unique', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        |  FROM corpus
+        |  UNION ALL
+        |  SELECT 'custkey_in_customer', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN o_custkey IS NULL
+        |      OR o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |      THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM corpus
+        |)
+        |SELECT check_name, n_rows, n_violations,
+        |  n_violations = 0 AS passed
+        |FROM checks ORDER BY check_name""".stripMargin,
 
     // ordered string_agg re-derives the chat-template sample
     "transcript_render" ->
