@@ -1609,6 +1609,33 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // URL canonicalization dedup (UrlOps): four deterministic fetch
+    // variants of each logical page synthesized per doc_id (case noise,
+    // explicit default port, trailing slash + tracking param, reordered
+    // params + fragment) must collapse to ONE canonical key — pure
+    // projection, then the exact_dedup grouping shape. The oracle
+    // re-derives the whole canonicalization pipeline in SQL.
+    "url_canonical_dedup" -> ((s, dir) => {
+      val d = read(s, dir, "documents").select(F.col("doc_id"))
+      val base = ((F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(4L))) /
+        F.lit(4L)).cast("long").cast("string")
+      val variant = F.pmod(F.col("doc_id"), F.lit(4L))
+      val url = F.when(variant === 0,
+          F.concat(F.lit("https://www.example.com/path/"), base, F.lit("?a=1&b=2")))
+        .when(variant === 1,
+          F.concat(F.lit("HTTPS://EXAMPLE.COM:443/path/"), base, F.lit("?b=2&a=1")))
+        .when(variant === 2,
+          F.concat(F.lit("https://example.com/path/"), base,
+            F.lit("/?a=1&b=2&utm_source=feed")))
+        .otherwise(
+          F.concat(F.lit("https://www.example.com/path/"), base,
+            F.lit("?b=2&a=1#section")))
+      d.withColumn("canonical_url", graft.ops.UrlOps.canonicalizeUrl(url))
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).as("n_docs"), F.min("doc_id").as("first_doc"))
+        .orderBy("canonical_url")
+    }),
+
     // data-quality expectations gate (Validate): three row predicates
     // plus a uniqueness constraint evaluated in ONE aggregation pass
     // (the exchange carries counters, never rows), and a referential
@@ -2498,6 +2525,54 @@ object SparkEntry {
         |  CAST(sum(length(text)) AS BIGINT) AS n_chars
         |FROM ${graft.data.TranscriptFixture.OracleGlob}
         |GROUP BY conv_id ORDER BY n_turns DESC, conv_id LIMIT 20""".stripMargin,
+
+    // the full canonicalization pipeline re-derived in SQL: fragment
+    // strip, scheme/host casefold, www/default-port removal, path
+    // trailing-slash rule, tracking filter + param sort
+    "url_canonical_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'https://www.example.com/path/' ||
+        |        CAST(doc_id // 4 AS VARCHAR) || '?a=1&b=2'
+        |      WHEN 1 THEN 'HTTPS://EXAMPLE.COM:443/path/' ||
+        |        CAST(doc_id // 4 AS VARCHAR) || '?b=2&a=1'
+        |      WHEN 2 THEN 'https://example.com/path/' ||
+        |        CAST(doc_id // 4 AS VARCHAR) || '/?a=1&b=2&utm_source=feed'
+        |      ELSE 'https://www.example.com/path/' ||
+        |        CAST(doc_id // 4 AS VARCHAR) || '?b=2&a=1#section'
+        |    END AS url
+        |  FROM documents
+        |), parts AS (
+        |  SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u
+        |), comps AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS hostport,
+        |    regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1) AS rawpath,
+        |    regexp_extract(nf, '\?(.*)$', 1) AS rawq
+        |  FROM parts
+        |), canon AS (
+        |  SELECT doc_id,
+        |    scheme || '://' ||
+        |    regexp_replace(regexp_extract(hostport, '^([^:]*)', 1), '^www\.', '') ||
+        |    CASE WHEN regexp_extract(hostport, ':([0-9]+)$', 1) = ''
+        |        OR (scheme = 'http' AND regexp_extract(hostport, ':([0-9]+)$', 1) = '80')
+        |        OR (scheme = 'https' AND regexp_extract(hostport, ':([0-9]+)$', 1) = '443')
+        |      THEN '' ELSE ':' || regexp_extract(hostport, ':([0-9]+)$', 1) END ||
+        |    regexp_replace(CASE WHEN rawpath = '' THEN '/' ELSE rawpath END,
+        |      '(.)/$', '\1') ||
+        |    CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+        |  FROM (
+        |    SELECT *, array_to_string(list_sort(list_filter(
+        |      string_split(rawq, '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x,
+        |        '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS q
+        |    FROM comps
+        |  )
+        |)
+        |SELECT canonical_url, count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM canon GROUP BY 1 ORDER BY canonical_url""".stripMargin,
 
     // each check's violation count recomputed independently; the same
     // deterministic planting (lowest orderkeys) rebuilt in SQL
