@@ -1609,6 +1609,23 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // padding-efficient dynamic batching (Sequencing
+    // .lengthBucketedBatches): sequences bucket by length/16, batch 8
+    // at a time in doc_id order via the two-level groupedRank (a
+    // per-bucket row_number that never sorts a whole bucket on one
+    // task); per-batch padding_frac is the wasted-compute metric. The
+    // oracle re-derives ranks with a plain window (equality of the two
+    // is the scale claim, pinned in SequencingSpec across widths).
+    "batch_assembly" -> ((s, dir) => {
+      val d = read(s, dir, "documents")
+      graft.ops.Sequencing.lengthBucketedBatches(
+          d.select(F.col("doc_id"),
+            F.size(F.split(F.col("text"), " ")).as("nt")),
+          "doc_id", "nt", bucketWidth = 16, batchSize = 8,
+          idSubBucketWidth = 1000L)
+        .orderBy("bucket", "batch_idx")
+    }),
+
     // URL canonicalization dedup (UrlOps): four deterministic fetch
     // variants of each logical page synthesized per doc_id (case noise,
     // explicit default port, trailing slash + tracking param, reordered
@@ -2525,6 +2542,24 @@ object SparkEntry {
         |  CAST(sum(length(text)) AS BIGINT) AS n_chars
         |FROM ${graft.data.TranscriptFixture.OracleGlob}
         |GROUP BY conv_id ORDER BY n_turns DESC, conv_id LIMIT 20""".stripMargin,
+
+    // ranks re-derived with a plain per-bucket window; integer
+    // padding_frac ratios are IEEE-exact in both engines
+    "batch_assembly" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, nt, nt // 16 AS bucket,
+        |    row_number() OVER (PARTITION BY nt // 16 ORDER BY doc_id) AS rk
+        |  FROM t
+        |)
+        |SELECT bucket, (rk - 1) // 8 AS batch_idx,
+        |  CAST(count(*) AS BIGINT) AS n_seqs,
+        |  max(nt) AS max_tokens,
+        |  CAST(sum(nt) AS BIGINT) AS sum_tokens,
+        |  1.0 - CAST(sum(nt) AS DOUBLE) / (count(*) * max(nt)) AS padding_frac
+        |FROM r GROUP BY 1, 2 ORDER BY bucket, batch_idx""".stripMargin,
 
     // the full canonicalization pipeline re-derived in SQL: fragment
     // strip, scheme/host casefold, www/default-port removal, path

@@ -91,6 +91,71 @@ object Sequencing {
       .drop("__b", "__local", "__off")
   }
 
+  /** Dense rank of each row WITHIN its group, in `orderCol` order,
+    * without ever sorting a whole group on one reducer: the same
+    * two-level scan as [[prefixSum]], partitioned per group. `subBucket`
+    * must be monotonic non-decreasing in `orderCol` within each group
+    * (e.g. `floor(id / width)`); `orderCol` must be unique per group.
+    * Adds `rankCol` (1-based).
+    *
+    * Shape: the row-level window partitions on (group, subBucket) — many
+    * small partitions even when one group dominates the corpus — and the
+    * per-(group, subBucket) count table (O(groups × buckets) rows, not
+    * O(rows)) takes the only per-group sequential pass before
+    * broadcasting back. */
+  def groupedRank(df: DataFrame, groupCols: Seq[String], orderCol: String,
+      subBucket: Column, rankCol: String = "rank"): DataFrame = {
+    require(groupCols.nonEmpty, "groupedRank needs group columns")
+    val g = groupCols.map(F.col)
+    val withB = df.withColumn("__sb", subBucket)
+    val local = F.row_number().over(
+      Window.partitionBy((g :+ F.col("__sb")): _*).orderBy(F.col(orderCol)))
+    val counts = withB.groupBy((g :+ F.col("__sb")): _*)
+      .agg(F.count(F.lit(1)).as("__c"))
+    val offsets = counts.select((g :+ F.col("__sb") :+
+      F.coalesce(F.sum(F.col("__c")).over(
+        Window.partitionBy(g: _*).orderBy(F.col("__sb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), F.lit(0L)).as("__off")): _*)
+    withB.withColumn("__local", local)
+      .join(F.broadcast(offsets), groupCols :+ "__sb")
+      .withColumn(rankCol, F.col("__local") + F.col("__off"))
+      .drop("__sb", "__local", "__off")
+  }
+
+  /** Padding-efficient dynamic batching: group sequences of similar
+    * length so fixed-size training batches pad each sequence only to
+    * its BATCH maximum, not the corpus maximum. Sequences land in
+    * length bucket `floor(nTokens / bucketWidth)`; within a bucket they
+    * batch `batchSize` at a time in `idCol` order (already
+    * length-homogeneous — that is what the bucket is for). Output, one
+    * row per batch: (bucket, batch_idx, n_seqs, max_tokens, sum_tokens,
+    * padding_frac), where padding_frac = 1 - sum/(n·max) is the wasted
+    * compute the bucketing exists to minimize.
+    *
+    * Ranks come from [[groupedRank]], so a skewed length distribution
+    * (most of a corpus in one bucket) still parallelizes — nothing
+    * sorts a whole bucket on one task. */
+  def lengthBucketedBatches(df: DataFrame, idCol: String, nTokensCol: String,
+      bucketWidth: Long, batchSize: Int,
+      idSubBucketWidth: Long = 10000L): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth must be >= 1")
+    require(batchSize >= 1, "batchSize must be >= 1")
+    val base = df.select(F.col(idCol),
+      F.col(nTokensCol).cast("long").as("__nt"))
+      .withColumn("bucket", idiv(F.col("__nt"), bucketWidth))
+    val ranked = groupedRank(base, Seq("bucket"), idCol,
+      idiv(F.col(idCol).cast("long"), idSubBucketWidth), rankCol = "__rk")
+    ranked
+      .withColumn("batch_idx", idiv(F.col("__rk") - 1, batchSize.toLong))
+      .groupBy(F.col("bucket"), F.col("batch_idx"))
+      .agg(F.count(F.lit(1)).as("n_seqs"),
+        F.max(F.col("__nt")).as("max_tokens"),
+        F.sum(F.col("__nt")).as("sum_tokens"))
+      .withColumn("padding_frac",
+        F.lit(1.0) - F.col("sum_tokens") /
+          (F.col("n_seqs") * F.col("max_tokens")))
+  }
+
   /** Contiguous greedy packing of the corpus token stream into
     * capacity-`capacity` shards: documents concatenate in `idCol`
     * order; each gets its global `start_offset` and the shard (`bin`)

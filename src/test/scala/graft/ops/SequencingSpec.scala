@@ -111,6 +111,58 @@ class SequencingSpec extends SparkTestBase {
     assert(Sequencing.packSequences(empty, "doc_id", "n_tokens", 512).count() === 0)
   }
 
+  test("groupedRank equals a per-group row_number window at every sub-bucket width") {
+    // skewed groups: group 0 owns most rows (the hot length bucket)
+    val df = (0L until 2000L).map { i =>
+      (i, if (i % 10 < 8) 0L else i % 10) }.toDF("id", "g")
+    val expected = df.withColumn("rk", F.row_number().over(
+      Window.partitionBy("g").orderBy("id")))
+      .select("id", "rk").collect().map(r => (r.getLong(0), r.getInt(1).toLong)).toMap
+    for (w <- Seq(1L, 7L, 100L, 100000L)) {
+      val got = Sequencing.groupedRank(df, Seq("g"), "id",
+        (F.col("id") / F.lit(w)).cast("long"), rankCol = "rk")
+      val gm = got.select("id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(gm === expected, s"width $w")
+    }
+  }
+
+  test("lengthBucketedBatches: batch layout and padding fractions by hand") {
+    // bucket width 10, batch size 2. lengths: bucket 0 holds ids 1,2,3
+    // (len 4, 9, 5) -> batches [(1,2)],[(3)]; bucket 1 holds ids 4,5
+    // (len 12, 17) -> batch [(4,5)]
+    val df = Seq((1L, 4L), (2L, 9L), (3L, 5L), (4L, 12L), (5L, 17L))
+      .toDF("doc_id", "nt")
+    val out = Sequencing.lengthBucketedBatches(df, "doc_id", "nt",
+      bucketWidth = 10, batchSize = 2)
+      .orderBy("bucket", "batch_idx").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq === Seq(
+      (0L, 0L, 2L, 9L, 13L), // ids 1,2: max 9, sum 13
+      (0L, 1L, 1L, 5L, 5L), // id 3 alone: no padding
+      (1L, 0L, 2L, 17L, 29L))) // ids 4,5
+    val fracs = out.map(_.getDouble(5))
+    assert(fracs(0) === 1.0 - 13.0 / 18.0)
+    assert(fracs(1) === 0.0)
+    assert(fracs(2) === 1.0 - 29.0 / 34.0)
+  }
+
+  test("bucketing bounds padding: per-batch padding never crosses bucketWidth") {
+    val out = Sequencing.lengthBucketedBatches(
+      docs.select(F.col("doc_id"),
+        F.size(Decontaminate.tokens(F.col("text"))).as("nt")),
+      "doc_id", "nt", bucketWidth = 16, batchSize = 8,
+      idSubBucketWidth = 100L)
+    // within a batch, max - min < bucketWidth by construction, so the
+    // per-sequence padding is < bucketWidth tokens
+    val bad = out.filter(
+      F.col("max_tokens") * F.col("n_seqs") - F.col("sum_tokens") >=
+        F.lit(16L) * F.col("n_seqs")).count()
+    assert(bad === 0L)
+    // every sequence is in exactly one batch
+    assert(out.agg(F.sum("n_seqs")).collect()(0).getLong(0) === docs.count())
+  }
+
   test("Redact scrubs planted PII, counts from the original, and is idempotent") {
     val rows = Seq(
       (1L, "reach me at a.b+tag@mail-host.example.org or 415-555-0199 thanks"),
