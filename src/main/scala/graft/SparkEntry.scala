@@ -1626,6 +1626,29 @@ object SparkEntry {
         .orderBy("bucket", "batch_idx")
     }),
 
+    // deterministic epoch shuffle (Sequencing.epochShuffle): each doc's
+    // position in a seeded pseudo-random training order plus its
+    // round-robin shard, via the two-level rank (never a global sort on
+    // one task — PlanAudit). The LCG key keeps the permutation
+    // re-derivable in plain SQL; library users pass murmur64(id).
+    "epoch_shuffle" -> ((s, dir) => {
+      val d = read(s, dir, "documents")
+      graft.ops.Sequencing.epochShuffle(
+          d.select(F.col("doc_id")), "doc_id",
+          (F.col("doc_id") * F.lit(48271L) + F.lit(12345L)) % F.lit(2147483647L),
+          numShards = 8, keyBucketWidth = 1L << 16)
+        .orderBy("position")
+    }),
+
+    // BPE-style vocab induction (Vocab.topPairs): the 50 most frequent
+    // adjacent token pairs — explode + map-side-combined count, then
+    // TakeOrderedAndProject top-k (ties broken by the pair itself, so
+    // the cut at k is deterministic in both engines).
+    "bpe_pair_counts" -> ((s, dir) => {
+      val d = read(s, dir, "documents")
+      graft.ops.Vocab.topPairs(d, "text", k = 50)
+    }),
+
     // URL canonicalization dedup (UrlOps): four deterministic fetch
     // variants of each logical page synthesized per doc_id (case noise,
     // explicit default port, trailing slash + tracking param, reordered
@@ -2560,6 +2583,36 @@ object SparkEntry {
         |  CAST(sum(nt) AS BIGINT) AS sum_tokens,
         |  1.0 - CAST(sum(nt) AS DOUBLE) / (count(*) * max(nt)) AS padding_frac
         |FROM r GROUP BY 1, 2 ORDER BY bucket, batch_idx""".stripMargin,
+
+    // the LCG permutation and shard arithmetic re-derived verbatim;
+    // all-integer, so the hash compare is exact
+    "epoch_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id, (doc_id * 48271 + 12345) % 2147483647 AS key
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY key, doc_id) - 1 AS position
+        |  FROM k
+        |)
+        |SELECT doc_id, CAST(position AS BIGINT) AS position,
+        |  CAST(position % 8 AS BIGINT) AS shard,
+        |  CAST(position // 8 AS BIGINT) AS pos_in_shard
+        |FROM r ORDER BY position""".stripMargin,
+
+    // adjacent pairs via lockstep unnest + 1-based list indexing; the
+    // same single-space tokenization as the engine
+    "bpe_pair_counts" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS l
+        |  FROM documents
+        |), u AS (
+        |  SELECT l, unnest(l) AS w1, generate_subscripts(l, 1) AS i FROM toks
+        |), p AS (
+        |  SELECT w1, l[i + 1] AS w2 FROM u WHERE i < len(l)
+        |)
+        |SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+        |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, w1, w2 LIMIT 50""".stripMargin,
 
     // the full canonicalization pipeline re-derived in SQL: fragment
     // strip, scheme/host casefold, www/default-port removal, path

@@ -156,6 +156,49 @@ object Sequencing {
           (F.col("n_seqs") * F.col("max_tokens")))
   }
 
+  /** Deterministic epoch shuffle: assign every row its position in a
+    * seeded pseudo-random global training order, plus its interleaved
+    * shard — the "shuffle the corpus once per epoch, deal rows
+    * round-robin to data-loader workers" layout, computed as metadata
+    * (no row ever moves through a single reducer).
+    *
+    * `keyCol` is the shuffle key (any deterministic scramble of the id:
+    * `murmur64(id)`, or an LCG like `(id*48271 + seed) % 2147483647`
+    * when the consumer must re-derive it in plain SQL); rows order by
+    * (key pmod 2^62, id) — the id tie-break makes the order total even
+    * under key collisions. Position comes from the same two-level scan
+    * as [[prefixSum]]: a per-bucket `row_number` (bucket =
+    * `floor(key / keyBucketWidth)`, so pick the width to split the
+    * KEY RANGE into ~tens of thousands of buckets) plus an O(buckets)
+    * offset table — never a global sort on one task. Output: idCol,
+    * `position` (0-based global), `shard` (= position mod numShards),
+    * `pos_in_shard` (= position div numShards).
+    */
+  def epochShuffle(df: DataFrame, idCol: String, keyCol: Column,
+      numShards: Int, keyBucketWidth: Long): DataFrame = {
+    require(numShards >= 1, "numShards must be >= 1")
+    require(keyBucketWidth >= 1, "keyBucketWidth must be >= 1")
+    // pmod into [0, 2^62) so bucket arithmetic never sees a negative
+    // key (raw murmur64 is signed); deterministic, order within a
+    // bucket is whatever the pmod gives — total order via the id
+    val key = F.pmod(keyCol.cast("long"), F.lit(1L << 62))
+    val base = df.select(F.col(idCol), key.as("__k"))
+      .withColumn("__b", idiv(F.col("__k"), keyBucketWidth))
+    val local = F.row_number().over(
+      Window.partitionBy(F.col("__b")).orderBy(F.col("__k"), F.col(idCol)))
+    val counts = base.groupBy(F.col("__b")).agg(F.count(F.lit(1)).as("__c"))
+    val offsets = counts.select(F.col("__b"),
+      F.coalesce(F.sum(F.col("__c")).over(
+        Window.orderBy(F.col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), F.lit(0L)).as("__off"))
+    base.withColumn("__local", local.cast("long"))
+      .join(F.broadcast(offsets), Seq("__b"))
+      .withColumn("position", F.col("__local") + F.col("__off") - 1L)
+      .select(F.col(idCol), F.col("position"),
+        F.pmod(F.col("position"), F.lit(numShards.toLong)).as("shard"),
+        idiv(F.col("position"), numShards.toLong).as("pos_in_shard"))
+  }
+
   /** Contiguous greedy packing of the corpus token stream into
     * capacity-`capacity` shards: documents concatenate in `idCol`
     * order; each gets its global `start_offset` and the shard (`bin`)

@@ -163,6 +163,38 @@ class SequencingSpec extends SparkTestBase {
     assert(out.agg(F.sum("n_seqs")).collect()(0).getLong(0) === docs.count())
   }
 
+  test("epochShuffle is a permutation, width-independent, and matches a plain window") {
+    val ids = docs.select(F.col("doc_id"))
+    val key = (F.col("doc_id") * F.lit(48271L) + F.lit(99L)) % F.lit(2147483647L)
+    val expected = ids.withColumn("__k", key)
+      .withColumn("position", F.row_number().over(
+        Window.orderBy(F.col("__k"), F.col("doc_id"))).cast("long") - 1L)
+      .select("doc_id", "position").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    for (w <- Seq(1L, 1L << 10, 1L << 16, 1L << 40)) {
+      val out = Sequencing.epochShuffle(ids, "doc_id", key,
+        numShards = 4, keyBucketWidth = w)
+      val rows = out.collect()
+      val got = rows.map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === expected, s"width $w")
+      // shard arithmetic consistent with position
+      assert(rows.forall(r => r.getLong(2) == r.getLong(1) % 4 &&
+        r.getLong(3) == r.getLong(1) / 4), s"width $w")
+    }
+    // positions are exactly 0..n-1 (a permutation, no gaps/dups)
+    val n = ids.count()
+    assert(expected.values.toSeq.sorted === (0L until n))
+  }
+
+  test("epochShuffle handles signed keys (raw murmur-style) without dropping rows") {
+    val df = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    // a key expression that goes negative
+    val out = Sequencing.epochShuffle(df, "id",
+      F.col("id") * F.lit(-7L) + F.lit(3L), numShards = 2, keyBucketWidth = 1L << 20)
+    val pos = out.collect().map(_.getLong(1)).sorted
+    assert(pos.toSeq === (0L until 5L))
+  }
+
   test("Redact scrubs planted PII, counts from the original, and is idempotent") {
     val rows = Seq(
       (1L, "reach me at a.b+tag@mail-host.example.org or 415-555-0199 thanks"),
