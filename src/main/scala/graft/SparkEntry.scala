@@ -55,13 +55,8 @@ object SparkEntry {
     * them after registration), so queries that stage real files use this. */
   private def stagingDir(prefix: String): java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def del(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(del))
-        val _ = f.delete()
-      }
-      del(p.toFile)
-    }))
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      graft.data.LocalFs.deleteRecursively(p.toFile)))
     p
   }
 
@@ -440,8 +435,11 @@ object SparkEntry {
       }
       val cutoff = tsLit((ms(mm.get(0)) + ms(mm.get(1))) / 2)
       val staged = stagingDir("graft_ssz_in")
+      // one tmp dir reused across the staged batches (overwrite clears
+      // it; the part file moves out) — a per-stage dir would register a
+      // fresh shutdown hook every bench invocation
+      val tmp = stagingDir("graft_ssz_tmp")
       def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-        val tmp = stagingDir("graft_ssz_tmp")
         df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val part = {
           val l = java.nio.file.Files.list(tmp)
@@ -567,8 +565,11 @@ object SparkEntry {
       }
       val cutoff = tsLit((ms(mm.get(0)) + ms(mm.get(1))) / 2)
       val staged = stagingDir("graft_swc_in")
+      // one tmp dir reused across the staged batches (overwrite clears
+      // it; the part file moves out) — a per-stage dir would register a
+      // fresh shutdown hook every bench invocation
+      val tmp = stagingDir("graft_swc_tmp")
       def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-        val tmp = stagingDir("graft_swc_tmp")
         df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val part = {
           val l = java.nio.file.Files.list(tmp)
@@ -1479,7 +1480,7 @@ object SparkEntry {
     "transcript_bloom_convs" -> ((s, dir) => {
       val t = graft.data.TranscriptFixture.frame(s)
       val convs = t.select(F.col("conv_id")).distinct()
-      val even = convs.filter(F.substring(F.col("conv_id"), 6, 5).cast("int") % 2 === 0)
+      val even = convs.filter(F.substring(F.col("conv_id"), 6, 10).cast("int") % 2 === 0)
       val sk = even.agg(
         bloom_sketch(F.col("conv_id"), graft.data.TranscriptFixture.NConvs, 24).as("sk"))
         .head().getAs[Array[Byte]](0)
@@ -1503,8 +1504,11 @@ object SparkEntry {
       val lo = mm.getTimestamp(0).getTime
       val hi = mm.getTimestamp(1).getTime
       val staged = stagingDir("graft_stw_in")
+      // one tmp dir reused across the staged batches (overwrite clears
+      // it; the part file moves out) — a per-stage dir would register a
+      // fresh shutdown hook every bench invocation
+      val tmp = stagingDir("graft_stw_tmp")
       def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-        val tmp = stagingDir("graft_stw_tmp")
         df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val part = {
           val l = java.nio.file.Files.list(tmp)
@@ -1581,7 +1585,7 @@ object SparkEntry {
             F.array_sort(F.collect_list(F.struct(F.col("turn_idx"), F.col("text")))),
             x => x.getField("text")), "\u001f").as("conv_text"))
       val copies = canon
-        .filter(F.substring(F.col("conv_id"), 6, 5).cast("int") < 50)
+        .filter(F.substring(F.col("conv_id"), 6, 10).cast("int") < 50)
         .withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("-copy")))
       canon.unionByName(copies)
         .groupBy(murmur64(F.col("conv_text")).as("__fp"))
@@ -2745,13 +2749,14 @@ object SparkEntry {
         |), l AS (
         |  SELECT conv_id, turn_idx, role, text,
         |    lag(line, 3) OVER w AS l3, lag(line, 2) OVER w AS l2,
-        |    lag(line, 1) OVER w AS l1
+        |    lag(line, 1) OVER w AS l1,
+        |    lag(turn_idx, 1) OVER w AS prev_idx
         |  FROM r
         |  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
         |)
         |SELECT conv_id, turn_idx AS target_idx,
         |  concat_ws(chr(10), l3, l2, l1) AS context_text,
         |  text AS target_text
-        |FROM l WHERE role = 'assistant' AND l1 IS NOT NULL
+        |FROM l WHERE role = 'assistant' AND prev_idx IS NOT NULL
         |ORDER BY conv_id, target_idx""".stripMargin)
 }

@@ -63,11 +63,7 @@ object TranscriptFixture {
           case _: java.nio.file.FileAlreadyExistsException |
               _: java.nio.file.DirectoryNotEmptyException =>
             // another process won the race; its content is byte-identical
-            def del(f: java.io.File): Unit = {
-              Option(f.listFiles).foreach(_.foreach(del))
-              val _ = f.delete()
-            }
-            del(stage.toFile)
+            LocalFs.deleteRecursively(stage.toFile)
         }
       }
       ensured = true

@@ -49,8 +49,11 @@ object Validate {
       }
     val oneRow = df.agg(
       F.count(F.lit(1)).as("__n"), violationCounters: _*)
+    // sum() over zero rows is SQL NULL — an empty corpus must PASS
+    // (0 violations) explicitly, not return an un-filterable NULL gate
     val entries = names.map { n =>
-      F.struct(F.lit(n).as("check_name"), F.col(s"__v_$n").as("n_violations"))
+      F.struct(F.lit(n).as("check_name"),
+        F.coalesce(F.col(s"__v_$n"), F.lit(0L)).as("n_violations"))
     }
     oneRow
       .select(F.col("__n"), F.explode(F.array(entries: _*)).as("__c"))

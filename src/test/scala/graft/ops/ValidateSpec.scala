@@ -74,6 +74,19 @@ class ValidateSpec extends SparkTestBase {
     assert(out.map(_.getString(0)).toSeq === out.map(_.getString(0)).sorted.toSeq)
   }
 
+  test("empty input passes explicitly: zero violations, never a NULL gate") {
+    val empty = rows.filter(F.lit(false))
+    val out = Validate.report(empty,
+      Seq("price_positive" -> (F.col("price") > 0)),
+      Seq("unique_k" -> Seq("k"))).collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getLong(1) === 0L) // n_rows
+      assert(!r.isNullAt(2) && r.getLong(2) === 0L) // n_violations
+      assert(!r.isNullAt(3) && r.getBoolean(3)) // passed = true, not NULL
+    }
+  }
+
   test("combine rejects a frame that is not a report") {
     val e = intercept[IllegalArgumentException] {
       Validate.combine(rows)
