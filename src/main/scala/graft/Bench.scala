@@ -42,7 +42,11 @@ object Bench {
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
+    // optional arg: comma-separated query-name filter for iterating on
+    // a subset (the driver passes no args — full suite)
+    val filter = args.headOption.map(_.split(',').toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => filter.forall(_.contains(n)) }
     val calibration = scala.collection.mutable.ArrayBuffer[Double]()
     def pass(): Seq[(String, Double)] = names.zipWithIndex.map { case ((name, fn), i) =>
       if (i % CalEvery == 0) calibration += time(SparkEntry.queries("q1_agg"))
