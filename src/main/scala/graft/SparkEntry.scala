@@ -1630,6 +1630,16 @@ object SparkEntry {
         .orderBy("bucket", "batch_idx")
     }),
 
+    // exact duplicate-substring spans (Dedup.duplicateSpans): maximal
+    // runs of 10-gram-duplicated token positions, corpus-wide — the
+    // Lee et al. substring-dedup cut list. Exchange carries
+    // (hash, id, pos) only; islands merge per document.
+    "duplicate_spans" -> ((s, dir) => {
+      val d = read(s, dir, "documents")
+      graft.ops.Dedup.duplicateSpans(d, "doc_id", "text", l = 10)
+        .orderBy("doc_id", "span_start")
+    }),
+
     // deterministic epoch shuffle (Sequencing.epochShuffle): each doc's
     // position in a seeded pseudo-random training order plus its
     // round-robin shard, via the two-level rank (never a global sort on
@@ -2587,6 +2597,31 @@ object SparkEntry {
         |  CAST(sum(nt) AS BIGINT) AS sum_tokens,
         |  1.0 - CAST(sum(nt) AS DOUBLE) / (count(*) * max(nt)) AS padding_frac
         |FROM r GROUP BY 1, 2 ORDER BY bucket, batch_idx""".stripMargin,
+
+    // dup determination re-derived from gram TEXT (engine groups by
+    // murmur64 of the same gram — identical absent collisions, the
+    // documented exactDedup tradeoff); islands via p - row_number
+    "duplicate_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, i - 1 AS p, array_to_string(l[i:i+9], ' ') AS gram
+        |  FROM (SELECT doc_id, l,
+        |          unnest(generate_series(1, len(l) - 9)) AS i
+        |        FROM toks WHERE len(l) >= 10)
+        |), d AS (
+        |  SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+        |), dp AS (
+        |  SELECT doc_id, p,
+        |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |  FROM g WHERE gram IN (SELECT gram FROM d)
+        |)
+        |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+        |  CAST(max(p) + 9 AS BIGINT) AS span_end,
+        |  CAST(max(p) + 9 - min(p) + 1 AS BIGINT) AS n_tokens
+        |FROM dp GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     // the LCG permutation and shard arithmetic re-derived verbatim;
     // all-integer, so the hash compare is exact

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
 
 import graft.spark.functions.murmur64
 
@@ -77,6 +78,63 @@ object Dedup {
     df.join(keepPerDoc, df(idCol) === keepPerDoc("__id"), "left")
       .select(df.columns.map(c =>
         if (c == linesCol) survivors.as(linesCol) else df(c)): _*)
+  }
+
+  /** Maximal duplicated substring spans — the exact-substring dedup of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"), token-granular: a position is duplicated when the
+    * `l`-token gram starting there occurs at least twice ANYWHERE in
+    * the corpus (another document or a repeat within the same one);
+    * runs of duplicated positions merge to maximal spans. Output:
+    * (idCol, span_start, span_end, n_tokens) with 0-based inclusive
+    * token offsets, span length >= l — the cut list a substring-dedup
+    * pass feeds on.
+    *
+    * Shape at scale: the gram exchange carries (hash64, id, pos) — 24
+    * bytes per token position, never gram text — and the duplicated-gram
+    * set comes from one map-side-combined count. The islands merge is a
+    * per-document window (documents parallelize; a document's positions
+    * are one partition's work, bounded by max doc length). Hash-only
+    * gram identity has the same 64-bit collision tradeoff as
+    * [[exactDedup]]; `verifyByText=true` carries the gram string
+    * through the count for certainty at the cost of shuffling grams. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      l: Int, verifyByText: Boolean = false): DataFrame = {
+    require(l >= 1, "l must be >= 1")
+    val toks = Decontaminate.tokens(F.col(textCol))
+    val n = F.size(toks)
+    // gram start offsets 0..n-l (guarded: sequence() DESCENDS for
+    // stop < start instead of returning empty)
+    val starts = F.when(n >= l,
+        F.sequence(F.lit(0), n - l)).otherwise(F.array().cast("array<int>"))
+    val grams = df.select(F.col(idCol).as("__id"), toks.as("__t"),
+        F.explode(starts).as("__p"))
+      .select(F.col("__id"), F.col("__p"),
+        F.array_join(F.slice(F.col("__t"), F.col("__p") + 1, F.lit(l)), " ")
+          .as("__g"))
+    val hashed =
+      if (verifyByText) grams.select(F.col("__id"), F.col("__p"),
+        murmur64(F.col("__g")).as("__h"), F.col("__g"))
+      else grams.select(F.col("__id"), F.col("__p"),
+        murmur64(F.col("__g")).as("__h"))
+    val dupKeys =
+      (if (verifyByText) hashed.groupBy(F.col("__h"), F.col("__g"))
+       else hashed.groupBy(F.col("__h")))
+        .agg(F.count(F.lit(1)).as("__c"))
+        .filter(F.col("__c") >= 2).select("__h")
+    val dupPos = hashed.join(dupKeys, Seq("__h"), "left_semi")
+      .select(F.col("__id"), F.col("__p"))
+    // gaps-and-islands: consecutive duplicated positions share
+    // (p - row_number), so maximal runs fall out of one group-by
+    val grp = F.col("__p") - F.row_number().over(
+      Window.partitionBy(F.col("__id")).orderBy(F.col("__p")))
+    dupPos.withColumn("__grp", grp)
+      .groupBy(F.col("__id"), F.col("__grp"))
+      .agg(F.min(F.col("__p")).as("span_start"),
+        (F.max(F.col("__p")) + (l - 1)).as("span_end"))
+      .select(F.col("__id").as(idCol),
+        F.col("span_start").cast("long"), F.col("span_end").cast("long"),
+        (F.col("span_end") - F.col("span_start") + 1).cast("long").as("n_tokens"))
   }
 
   /** Exact duplicate pairs (loser -> kept winner), for building a purge

@@ -59,6 +59,52 @@ class OpsSpec extends SparkTestBase {
     assert(losers.filter($"dup_id" =!= $"kept_id" + 10000).count() === 0)
   }
 
+  test("duplicateSpans: hand-computed spans for shared, offset, and internal repeats") {
+    val run = ('a' to 'l').map(_.toString).mkString(" ") // 12 tokens
+    val ten = Seq("m", "n", "o", "p", "q", "r", "s", "t", "u", "v")
+    val df = Seq(
+      (1L, run), // shares all 12 with doc 2's tail
+      (2L, "x y " + run), // same run at offset 2
+      (3L, (ten ++ ten).mkString(" ")), // internal exact 10-token repeat
+      (4L, "z1 z2 z3 z4 z5") // shorter than l: nothing
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(df, "doc_id", "text", l = 10)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, 0L, 11L, 12L), // grams 0..2 all duplicated -> one span
+      (2L, 2L, 13L, 12L), // the same run, shifted by the prefix
+      (3L, 0L, 9L, 10L), (3L, 10L, 19L, 10L))) // repeat halves, boundary grams unique
+    // verifyByText mode agrees
+    val vt = Dedup.duplicateSpans(df, "doc_id", "text", l = 10, verifyByText = true)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(vt.toSeq === got.toSeq)
+  }
+
+  test("duplicateSpans equals the brute-force recomputation on the corpus") {
+    val l = 8
+    val local = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => (id, t.split(" ").filter(_.nonEmpty)) }
+    val gramCount = scala.collection.mutable.Map[String, Int]()
+    for ((_, toks) <- local; p <- 0 to toks.length - l)
+      gramCount.updateWith(toks.slice(p, p + l).mkString(" "))(c => Some(c.getOrElse(0) + 1))
+    val expected = local.flatMap { case (id, toks) =>
+      val dup = (0 to toks.length - l)
+        .filter(p => gramCount(toks.slice(p, p + l).mkString(" ")) >= 2)
+      // islands merge
+      dup.foldLeft(List.empty[(Long, Long, Long)]) {
+        case ((did, s, e) :: rest, p) if p == e - (l - 1) + 1 =>
+          (did, s, p.toLong + (l - 1)) :: rest
+        case (acc, p) => (id, p.toLong, p.toLong + (l - 1)) :: acc
+      }.reverse
+    }.map { case (id, s, e) => (id, s, e, e - s + 1) }.sorted
+    val got = Dedup.duplicateSpans(docs, "doc_id", "text", l)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("minhash LSH finds planted near-duplicates, not unrelated pairs") {
     // plant: copy of each doc with ~1 token in 20 changed (high jaccard)
     val mutated = docs.select(($"doc_id" + 10000).as("doc_id"),
