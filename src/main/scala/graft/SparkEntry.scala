@@ -1640,6 +1640,18 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")
     }),
 
+    // substring-dedup applied (Dedup.cutSpans): the duplicate_spans cut
+    // list removes every covered token; spans anti-join the token
+    // stream as (id, pos) integers — no span arrays broadcast.
+    "substring_scrub" -> ((s, dir) => {
+      val d = read(s, dir, "documents").select(F.col("doc_id"), F.col("text"))
+      val spans = graft.ops.Dedup.duplicateSpans(d, "doc_id", "text", l = 10)
+      graft.ops.Dedup.cutSpans(d, spans, "doc_id", "text")
+        .select(F.col("doc_id"), F.col("text").as("scrubbed_text"),
+          F.col("n_removed"))
+        .orderBy("doc_id")
+    }),
+
     // deterministic epoch shuffle (Sequencing.epochShuffle): each doc's
     // position in a seeded pseudo-random training order plus its
     // round-robin shard, via the two-level rank (never a global sort on
@@ -2622,6 +2634,44 @@ object SparkEntry {
         |  CAST(max(p) + 9 - min(p) + 1 AS BIGINT) AS n_tokens
         |FROM dp GROUP BY doc_id, grp
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // the span pipeline re-derived, then tokens anti-joined against
+    // exploded span positions and re-joined in order
+    "substring_scrub" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, i - 1 AS p, array_to_string(l[i:i+9], ' ') AS gram
+        |  FROM (SELECT doc_id, l,
+        |          unnest(generate_series(1, len(l) - 9)) AS i
+        |        FROM toks WHERE len(l) >= 10)
+        |), d AS (
+        |  SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+        |), dp AS (
+        |  SELECT doc_id, p,
+        |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |  FROM g WHERE gram IN (SELECT gram FROM d)
+        |), spans AS (
+        |  SELECT doc_id, min(p) AS s, max(p) + 9 AS e
+        |  FROM dp GROUP BY doc_id, grp
+        |), cut AS (
+        |  SELECT doc_id, unnest(generate_series(s, e)) AS p FROM spans
+        |), tok AS (
+        |  SELECT doc_id, i - 1 AS p, w
+        |  FROM (SELECT doc_id, unnest(l) AS w,
+        |          generate_subscripts(l, 1) AS i FROM toks)
+        |), kept AS (
+        |  SELECT t.doc_id, string_agg(t.w, ' ' ORDER BY t.p) AS txt,
+        |    count(*) AS n
+        |  FROM tok t LEFT JOIN cut c ON t.doc_id = c.doc_id AND t.p = c.p
+        |  WHERE c.p IS NULL GROUP BY t.doc_id
+        |)
+        |SELECT b.doc_id, coalesce(k.txt, '') AS scrubbed_text,
+        |  CAST(b.nt - coalesce(k.n, 0) AS BIGINT) AS n_removed
+        |FROM (SELECT doc_id, len(l) AS nt FROM toks) b
+        |LEFT JOIN kept k ON b.doc_id = k.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
 
     // the LCG permutation and shard arithmetic re-derived verbatim;
     // all-integer, so the hash compare is exact

@@ -137,6 +137,39 @@ object Dedup {
         (F.col("span_end") - F.col("span_start") + 1).cast("long").as("n_tokens"))
   }
 
+  /** Apply a [[duplicateSpans]] cut list: remove every token covered by
+    * a span, keeping survivors in order. `spans` must carry (idCol,
+    * span_start, span_end) with 0-based inclusive token offsets. Output:
+    * (original columns with textCol scrubbed, n_removed).
+    *
+    * Shape at scale: spans explode to (id, position) rows and ANTI-join
+    * the posexploded token stream — no per-document span array is ever
+    * assembled or broadcast, and the join keys are (id, pos) integers.
+    * Re-assembly sorts each document's surviving tokens inside a
+    * per-id aggregation (documents parallelize across the corpus). */
+  def cutSpans(df: DataFrame, spans: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val cut = spans.select(F.col(idCol).as("__id"),
+        F.explode(F.sequence(F.col("span_start").cast("long"),
+          F.col("span_end").cast("long"))).as("__p"))
+    val toks = df.select(F.col(idCol).as("__id"),
+        F.posexplode(Decontaminate.tokens(F.col(textCol)))
+          .as(Seq("__p", "__tok")))
+      .withColumn("__p", F.col("__p").cast("long"))
+    val kept = toks.join(cut, Seq("__id", "__p"), "left_anti")
+      .groupBy(F.col("__id"))
+      .agg(F.array_join(F.array_sort(F.collect_list(
+          F.struct(F.col("__p"), F.col("__tok")))).getField("__tok"), " ")
+        .as("__scrubbed"),
+        F.count(F.lit(1)).as("__n_kept"))
+    val nTok = F.size(Decontaminate.tokens(df(textCol))).cast("long")
+    df.join(kept, df(idCol) === kept("__id"), "left")
+      .select(df.columns.map(c =>
+        if (c == textCol) F.coalesce(F.col("__scrubbed"), F.lit("")).as(textCol)
+        else df(c)) :+
+        (nTok - F.coalesce(F.col("__n_kept"), F.lit(0L))).as("n_removed"): _*)
+  }
+
   /** Exact duplicate pairs (loser -> kept winner), for building a purge
     * list: every id whose text already appeared under a smaller id. */
   def exactDupLosers(df: DataFrame, idCol: String, textCol: String): DataFrame = {

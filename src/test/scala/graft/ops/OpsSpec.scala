@@ -82,6 +82,56 @@ class OpsSpec extends SparkTestBase {
     assert(vt.toSeq === got.toSeq)
   }
 
+  test("cutSpans removes exactly the covered tokens; survivors keep order") {
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "p q r"),
+      (3L, "x y z") // fully covered -> empty
+    ).toDF("doc_id", "text")
+    val spans = Seq(
+      (1L, 1L, 2L), (1L, 5L, 6L), // cut b,c and f,g
+      (3L, 0L, 2L)
+    ).toDF("doc_id", "span_start", "span_end")
+    val got = Dedup.cutSpans(df, spans, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      (1L, "a d e h", 4L),
+      (2L, "p q r", 0L),
+      (3L, "", 3L)))
+  }
+
+  test("cutSpans after duplicateSpans leaves a gram-unique corpus") {
+    val d = docs.select($"doc_id", $"text")
+    val l = 10
+    val spans = Dedup.duplicateSpans(d, "doc_id", "text", l)
+    val scrubbed = Dedup.cutSpans(d, spans, "doc_id", "text")
+    // token conservation: removed + surviving == original
+    val orig = d.select(F.sum(F.size(Decontaminate.tokens($"text"))))
+      .head().getLong(0)
+    val after = scrubbed.select(
+        F.sum(F.size(Decontaminate.tokens($"text")) + $"n_removed"))
+      .head().getLong(0)
+    assert(after === orig)
+    // every occurrence of a duplicated gram sat inside a span, so no
+    // originally-duplicated gram survives the scrub at all (this
+    // variant removes ALL copies; deterministic on the fixed corpus —
+    // seam grams created at cut junctions are new text, checked not to
+    // coincide here)
+    val toGrams = (frame: org.apache.spark.sql.DataFrame) =>
+      frame.select(F.explode(F.when(
+          F.size(Decontaminate.tokens($"text")) >= l,
+          F.transform(F.sequence(F.lit(0),
+            F.size(Decontaminate.tokens($"text")) - l),
+            p => F.array_join(
+              F.slice(Decontaminate.tokens($"text"), p + 1, F.lit(l)), " ")))
+        .otherwise(F.array().cast("array<string>"))).as("g"))
+    val dupGrams = toGrams(d).groupBy("g").count().filter($"count" >= 2)
+    val surviving = toGrams(scrubbed.select($"doc_id", $"text"))
+      .join(dupGrams.select("g"), Seq("g"), "left_semi")
+    assert(surviving.count() === 0L)
+  }
+
   test("duplicateSpans equals the brute-force recomputation on the corpus") {
     val l = 8
     val local = docs.select($"doc_id", $"text").as[(Long, String)].collect()
