@@ -102,16 +102,23 @@ object Dedup {
       l: Int, verifyByText: Boolean = false): DataFrame = {
     require(l >= 1, "l must be >= 1")
     val toks = Decontaminate.tokens(F.col(textCol))
-    val n = F.size(toks)
-    // gram start offsets 0..n-l (guarded: sequence() DESCENDS for
-    // stop < start instead of returning empty)
-    val starts = F.when(n >= l,
-        F.sequence(F.lit(0), n - l)).otherwise(F.array().cast("array<int>"))
-    val grams = df.select(F.col(idCol).as("__id"), toks.as("__t"),
-        F.explode(starts).as("__p"))
-      .select(F.col("__id"), F.col("__p"),
-        F.array_join(F.slice(F.col("__t"), F.col("__p") + 1, F.lit(l)), " ")
-          .as("__g"))
+    // Build every (position, gram) struct inside ONE generator, with the
+    // token array bound to a lambda variable via the single-element
+    // outer transform — a plain `toks.as("__t")` alias gets re-inlined
+    // by CollapseProject into every gram row, re-tokenizing the full
+    // document once per position (measured 10x on this query). The
+    // sequence() guard matters: it DESCENDS for stop < start instead of
+    // returning empty.
+    val gramStructs = F.flatten(F.transform(F.array(toks), t =>
+      F.when(F.size(t) >= l,
+          F.transform(F.sequence(F.lit(0), F.size(t) - l), p =>
+            F.struct(p.as("p"),
+              F.array_join(F.slice(t, p + 1, F.lit(l)), " ").as("g"))))
+        .otherwise(F.array().cast("array<struct<p:int,g:string>>"))))
+    val grams = df.select(F.col(idCol).as("__id"),
+        F.explode(gramStructs).as("__pg"))
+      .select(F.col("__id"), F.col("__pg.p").as("__p"),
+        F.col("__pg.g").as("__g"))
     val hashed =
       if (verifyByText) grams.select(F.col("__id"), F.col("__p"),
         murmur64(F.col("__g")).as("__h"), F.col("__g"))
