@@ -42,23 +42,35 @@ object Sequencing {
       window: Int, stride: Int): DataFrame = {
     require(window >= 1, "window must be >= 1")
     require(stride >= 1 && stride <= window, "stride must be in [1, window]")
-    val w = Decontaminate.tokens(F.col(textCol))
-    val n = F.size(w)
-    // last start = smallest multiple of stride covering token n-1:
-    // ceil((n-window)/stride)*stride, clamped at 0 — integer ceil via
-    // (x + stride - 1) div stride on the non-negative overflow
-    val lastStart =
-      idiv(F.greatest(n - window, F.lit(0)).cast("long") + (stride - 1),
-        stride) * stride
-    val starts = F.when(n > 0, F.sequence(F.lit(0L), lastStart, F.lit(stride.toLong)))
-      .otherwise(F.array().cast("array<long>"))
-    df.select(F.col(idCol), w.as("__w"), n.as("__n"),
-        F.explode(starts).as("__st"))
-      .select(F.col(idCol),
-        idiv(F.col("__st"), stride).as("chunk_idx"),
-        F.array_join(F.slice(F.col("__w"), (F.col("__st") + 1).cast("int"),
-          F.lit(window)), " ").as("chunk_text"),
-        F.least(F.lit(window.toLong), F.col("__n") - F.col("__st")).as("n_tokens"))
+    // All chunks are built inside ONE generator with the token array
+    // bound to a lambda variable: a plain column alias for the tokens
+    // gets re-inlined by CollapseProject into every chunk row,
+    // re-tokenizing the whole document once per chunk — O(n·chunks)
+    // per document (the duplicateSpans lesson, measured ~10x there).
+    val chunkStructs = F.flatten(F.transform(
+      F.array(Decontaminate.tokens(F.col(textCol))), w => {
+        val n = F.size(w)
+        // last start = smallest multiple of stride covering token n-1:
+        // ceil((n-window)/stride)*stride, clamped at 0 — integer ceil
+        // via (x + stride - 1) div stride on the non-negative overflow
+        val lastStart =
+          idiv(F.greatest(n - window, F.lit(0)).cast("long") + (stride - 1),
+            stride) * stride
+        F.when(n > 0,
+            F.transform(
+              F.sequence(F.lit(0L), lastStart, F.lit(stride.toLong)), st =>
+                F.struct(
+                  idiv(st, stride).as("chunk_idx"),
+                  F.array_join(F.slice(w, (st + 1).cast("int"),
+                    F.lit(window)), " ").as("chunk_text"),
+                  F.least(F.lit(window.toLong), n.cast("long") - st)
+                    .as("n_tokens"))))
+          .otherwise(F.array().cast(
+            "array<struct<chunk_idx:bigint,chunk_text:string,n_tokens:bigint>>"))
+      }))
+    df.select(F.col(idCol), F.explode(chunkStructs).as("__c"))
+      .select(F.col(idCol), F.col("__c.chunk_idx"),
+        F.col("__c.chunk_text"), F.col("__c.n_tokens"))
   }
 
   /** Global inclusive running total of `valueCol` in `orderCol` order,
