@@ -911,13 +911,18 @@ object SparkEntry {
     // chunk occurrences drop at sf0.01 — real cross-doc repetition.
     "line_dedup" -> ((s, dir) => {
       val docs = read(s, dir, "documents")
-      val w = graft.ops.Decontaminate.tokens(F.col("text"))
-      val chunks = F.when(F.size(w) > 0,
-        F.transform(
-          F.sequence(F.lit(1), F.ceil(F.size(w) / F.lit(10.0)).cast("int")),
-          i => F.array_join(
-            F.slice(w, (i - F.lit(1)) * F.lit(10) + F.lit(1), F.lit(10)), " ")))
-        .otherwise(F.array().cast("array<string>"))
+      // tokens lambda-bound via the one-element outer transform — a
+      // free tokens expression inside the chunk lambda re-tokenizes the
+      // document per chunk (the duplicateSpans CollapseProject lesson)
+      val chunks = F.flatten(F.transform(
+        F.array(graft.ops.Decontaminate.tokens(F.col("text"))), w =>
+          F.when(F.size(w) > 0,
+            F.transform(
+              F.sequence(F.lit(1), F.ceil(F.size(w) / F.lit(10.0)).cast("int")),
+              i => F.array_join(
+                F.slice(w, (i - F.lit(1)) * F.lit(10) + F.lit(1), F.lit(10)),
+                " ")))
+          .otherwise(F.array().cast("array<string>"))))
       val withLines = docs.select(F.col("doc_id"), chunks.as("lines"))
       graft.ops.Dedup.lineDedup(withLines, "doc_id", "lines")
         .select(F.col("doc_id"),

@@ -31,12 +31,15 @@ object Decontaminate {
     * instead of returning empty.) */
   def wordNgrams(text: Column, n: Int): Column = {
     require(n >= 1, "n must be >= 1")
-    val w = tokens(text)
-    F.when(F.size(w) >= n,
-      F.array_distinct(F.transform(
-        F.sequence(F.lit(1), F.size(w) - (n - 1)),
-        i => F.array_join(F.slice(w, i, F.lit(n)), " "))))
-      .otherwise(F.array().cast("array<string>"))
+    // tokens bound to a lambda variable via the one-element outer
+    // transform: a free tokens expression inside the n-gram lambda is
+    // re-inlined and re-tokenizes the document once per position
+    F.flatten(F.transform(F.array(tokens(text)), w =>
+      F.when(F.size(w) >= n,
+        F.array_distinct(F.transform(
+          F.sequence(F.lit(1), F.size(w) - (n - 1)),
+          i => F.array_join(F.slice(w, i, F.lit(n)), " "))))
+        .otherwise(F.array().cast("array<string>"))))
   }
 
   /** Per-document contamination evidence: (idCol, n_hits) for every
