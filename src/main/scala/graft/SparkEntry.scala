@@ -1680,6 +1680,17 @@ object SparkEntry {
       graft.ops.Vocab.topPairs(d, "text", k = 50)
     }),
 
+    // BPE tokenizer training (Vocab.bpeTrain): 20 character-level merges
+    // over the corpus — one distributed word-frequency pass, then the
+    // classic merge loop on the vocabulary-bounded distinct-word table.
+    // No SQL oracle (iterative training); pinned in VocabSpec against an
+    // independent regex-based reference implementation.
+    "bpe_merges" -> ((s, dir) => {
+      val d = read(s, dir, "documents")
+      graft.ops.Vocab.bpeTrain(d, "text", numMerges = 20)
+        .orderBy("rank")
+    }),
+
     // URL canonicalization dedup (UrlOps): four deterministic fetch
     // variants of each logical page synthesized per doc_id (case noise,
     // explicit default port, trailing slash + tracking param, reordered

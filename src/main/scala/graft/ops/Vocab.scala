@@ -39,4 +39,70 @@ object Vocab {
       .orderBy(F.col("cnt").desc, F.col("w1"), F.col("w2"))
       .limit(k)
   }
+
+  /** Train `numMerges` character-level BPE merges (Sennrich et al. 2016)
+    * over the corpus. Returns one row per merge in training order:
+    * (rank, left, right, pair_count), rank 1-based; ties in pair count
+    * break lexicographically on (left, right), so training is fully
+    * deterministic.
+    *
+    * Shape at scale: the ONLY corpus-scale pass is the distributed
+    * word-frequency aggregation (explode + map-side-combined count). The
+    * merge loop then runs on the DISTINCT-word table, whose size is
+    * bounded by the language's vocabulary, not the corpus — millions of
+    * rows at 100 TB, not billions — which is why every production BPE
+    * trainer (and this one) pulls it to one machine. `maxDistinctWords`
+    * guards the collect: the trainer keeps the most frequent words and
+    * drops the tail beyond the cap — rare hapaxes contribute negligible
+    * pair mass; callers needing exactness raise the cap. Each word ends
+    * with the terminal marker `</w>` so end-of-word units merge
+    * separately from word-internal ones, per the original algorithm. */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
+      maxDistinctWords: Int = 10000000): DataFrame = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    val spark = df.sparkSession
+    val wordFreq = df
+      .select(F.explode(Decontaminate.tokens(F.col(textCol))).as("w"))
+      .groupBy("w").agg(F.count(F.lit(1)).as("c"))
+      .orderBy(F.col("c").desc, F.col("w"))
+      .limit(maxDistinctWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // words as mutable symbol sequences, weighted by frequency
+    val words: Array[(Array[String], Long)] = wordFreq.map { case (w, c) =>
+      (w.map(_.toString).toArray :+ "</w>", c)
+    }
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var syms = words
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((s, c) <- syms; i <- 0 until s.length - 1)
+        counts.updateWith((s(i), s(i + 1)))(v => Some(v.getOrElse(0L) + c))
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        merges += ((rank, l, r, c))
+        val fused = l + r
+        syms = syms.map { case (s, wc) =>
+          if (s.length < 2) (s, wc)
+          else {
+            val out = scala.collection.mutable.ArrayBuffer[String]()
+            var i = 0
+            while (i < s.length) {
+              if (i < s.length - 1 && s(i) == l && s(i + 1) == r) {
+                out += fused; i += 2
+              } else { out += s(i); i += 1 }
+            }
+            (out.toArray, wc)
+          }
+        }
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("rank", "left", "right", "pair_count")
+      .select(F.col("rank").cast("long"), F.col("left"), F.col("right"),
+        F.col("pair_count"))
+  }
 }

@@ -39,6 +39,68 @@ class VocabSpec extends SparkTestBase {
     assert(got.values.sum === mass)
   }
 
+  test("bpeTrain matches an independent regex-based BPE reference") {
+    // independent reference: words as space-joined symbol strings,
+    // merges applied by whole-token regex replacement (Sennrich-style)
+    def refBpe(wordFreq: Map[String, Long], k: Int): Seq[(String, String, Long)] = {
+      var words = wordFreq.map { case (w, c) =>
+        ((w.map(_.toString) :+ "</w>").mkString(" "), c) }.toSeq
+      val out = Seq.newBuilder[(String, String, Long)]
+      for (_ <- 1 to k) {
+        val counts = words.flatMap { case (s, c) =>
+          val t = s.split(" ")
+          t.zip(t.drop(1)).map(p => (p, c))
+        }.groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }
+        if (counts.nonEmpty) {
+          val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+          out += ((l, r, c))
+          val pat = ("(?<!\\S)" + java.util.regex.Pattern.quote(l) + " " +
+            java.util.regex.Pattern.quote(r) + "(?!\\S)").r
+          words = words.map { case (s, c2) =>
+            (pat.replaceAllIn(s, java.util.regex.Matcher.quoteReplacement(l + r)), c2)
+          }
+        }
+      }
+      out.result()
+    }
+    val corpus = Seq(
+      "low low low low low",
+      "lower lower",
+      "newest newest newest newest newest newest",
+      "widest widest widest").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val freq = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val expected = refBpe(freq, 10)
+    val got = Vocab.bpeTrain(corpus, "text", numMerges = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got === expected)
+  }
+
+  test("bpeTrain on the corpus: deterministic, first merge = argmax char pair") {
+    val k = 8
+    val a = Vocab.bpeTrain(docs, "text", k).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val b = Vocab.bpeTrain(docs, "text", k).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(a.toSeq === b.toSeq)
+    assert(a.length === k)
+    // counts never increase with rank beyond ties created by merges is
+    // NOT an invariant (a merge can create a more frequent pair), but
+    // the first merge must be the argmax over raw adjacent char pairs
+    val charPairs = docs.select($"text").as[String].collect()
+      .flatMap(_.split(" ").filter(_.nonEmpty))
+      .flatMap { w =>
+        val s = w.map(_.toString) :+ "</w>"
+        s.zip(s.drop(1))
+      }.groupBy(identity).map { case (p, xs) => (p, xs.length.toLong) }
+    val ((el, er), ec) = charPairs.minBy { case ((x, y), n) => (-n, x, y) }
+    assert((a(0)._2, a(0)._3, a(0)._4) === ((el, er, ec)))
+    // the cap keeps the most frequent words: a tiny cap still trains
+    val capped = Vocab.bpeTrain(docs, "text", 3, maxDistinctWords = 50).collect()
+    assert(capped.length === 3)
+  }
+
   test("topPairs takes the k most frequent with a deterministic tie cut") {
     val full = Vocab.pairCounts(docs, "text").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
