@@ -1654,6 +1654,10 @@ object SparkEntry {
       graft.ops.Dedup.cutSpans(d, spans, "doc_id", "text")
         .select(F.col("doc_id"), F.col("text").as("scrubbed_text"),
           F.col("n_removed"))
+        // always true — but it forces the scrub subplan under count():
+        // without it Catalyst's left-join elimination makes a bare
+        // count() skip ALL the work and the bench number is fiction
+        .filter(F.col("n_removed") >= 0)
         .orderBy("doc_id")
     }),
 
