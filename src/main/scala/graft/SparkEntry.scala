@@ -1695,6 +1695,20 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // BPE corpus encoding (Vocab.applyBpe): tokenize every document
+    // with the 20 trained merges — the vocabulary-bounded merge table
+    // ships in the task closure; per-word memo inside each task. No SQL
+    // oracle (iterative encode); round-trip + monotonicity in VocabSpec.
+    "bpe_encode" -> ((s, dir) => {
+      val d = read(s, dir, "documents")
+      val merges = graft.ops.Vocab.bpeTrain(d, "text", numMerges = 20)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2)))
+      graft.ops.Vocab.applyBpe(d, "doc_id", "text", merges)
+        .select(F.col("doc_id"), F.col("n_subwords"))
+        .orderBy("doc_id")
+    }),
+
     // URL canonicalization dedup (UrlOps): four deterministic fetch
     // variants of each logical page synthesized per doc_id (case noise,
     // explicit default port, trailing slash + tracking param, reordered

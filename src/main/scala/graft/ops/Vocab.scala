@@ -105,4 +105,65 @@ object Vocab {
       .select(F.col("rank").cast("long"), F.col("left"), F.col("right"),
         F.col("pair_count"))
   }
+
+  /** Encode one word with a trained merge list: start from characters +
+    * `</w>`, repeatedly apply the lowest-rank applicable merge (the
+    * standard BPE encode order — training order, not position order). */
+  private[ops] def encodeWord(word: String,
+      ranks: Map[(String, String), Int]): Array[String] = {
+    var s: Array[String] = word.map(_.toString).toArray :+ "</w>"
+    var continue = s.length >= 2
+    while (continue) {
+      var best = Int.MaxValue; var bi = -1
+      var i = 0
+      while (i < s.length - 1) {
+        val r = ranks.getOrElse((s(i), s(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; bi = i }
+        i += 1
+      }
+      if (bi < 0) continue = false
+      else {
+        val fused = s(bi) + s(bi + 1)
+        // fuse ALL occurrences of this exact pair, left to right — same
+        // result as one-at-a-time lowest-rank application, fewer scans
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var j = 0
+        while (j < s.length) {
+          if (j < s.length - 1 && s(j) == s(bi) && s(j + 1) == s(bi + 1)) {
+            out += fused; j += 2
+          } else { out += s(j); j += 1 }
+        }
+        s = out.toArray
+        continue = s.length >= 2
+      }
+    }
+    s
+  }
+
+  /** Tokenize the corpus with a trained BPE merge table ([[bpeTrain]]'s
+    * output, collected — vocabulary-bounded, so broadcasting it as a
+    * task closure is the right shape). Output: (idCol, subwords:
+    * array<string>, n_subwords). `mapPartitions` because BPE encoding
+    * is an iterative merge automaton no built-in expression can state;
+    * the per-partition closure builds the rank map once per task. */
+  def applyBpe(df: DataFrame, idCol: String, textCol: String,
+      merges: Array[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranks = merges.zipWithIndex.map { case (p, i) => (p, i) }.toMap
+    val enc = df.select(F.col(idCol).cast("long"), F.col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        // per-word memo: corpora repeat words heavily, and encoding is
+        // deterministic per word
+        val memo = scala.collection.mutable.Map[String, Array[String]]()
+        it.map { case (id, text) =>
+          val subs = text.split(" ").iterator.filter(_.nonEmpty).flatMap { w =>
+            memo.getOrElseUpdate(w, encodeWord(w, ranks))
+          }.toArray
+          (id, subs, subs.length.toLong)
+        }
+      }
+    enc.toDF(idCol, "subwords", "n_subwords")
+  }
 }

@@ -101,6 +101,38 @@ class VocabSpec extends SparkTestBase {
     assert(capped.length === 3)
   }
 
+  test("applyBpe: hand-checked encode, lossless round-trip, monotone in merges") {
+    // hand case: chained merges collapse a whole word
+    assert(Vocab.encodeWord("low",
+      Map(("l", "o") -> 0, ("lo", "w") -> 1)).toSeq === Seq("low", "</w>"))
+    // unknown word: untouched characters + terminal
+    assert(Vocab.encodeWord("zq", Map(("l", "o") -> 0)).toSeq ===
+      Seq("z", "q", "</w>"))
+    val corpus = docs.select($"doc_id", $"text")
+    val local = corpus.as[(Long, String)].collect().toMap
+    for (k <- Seq(1, 10)) {
+      val merges = Vocab.bpeTrain(corpus, "text", k).orderBy("rank")
+        .collect().map(r => (r.getString(1), r.getString(2)))
+      val enc = Vocab.applyBpe(corpus, "doc_id", "text", merges)
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1), r.getLong(2)))
+      enc.foreach { case (id, subs, n) =>
+        assert(n === subs.length.toLong)
+        // subwords rebuild the original token stream exactly
+        val rebuilt = subs.mkString.replace("</w>", " ").trim
+        val orig = local(id).split(" ").filter(_.nonEmpty).mkString(" ")
+        assert(rebuilt === orig, s"doc $id at k=$k")
+      }
+    }
+    // more merges never increase the subword count
+    val m20 = Vocab.bpeTrain(corpus, "text", 20).orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    val n1 = Vocab.applyBpe(corpus, "doc_id", "text", m20.take(1))
+      .agg(F.sum("n_subwords")).head().getLong(0)
+    val n20 = Vocab.applyBpe(corpus, "doc_id", "text", m20)
+      .agg(F.sum("n_subwords")).head().getLong(0)
+    assert(n20 <= n1)
+  }
+
   test("topPairs takes the k most frequent with a deterministic tie cut") {
     val full = Vocab.pairCounts(docs, "text").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
