@@ -960,6 +960,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // model-based quality scoring (the CCNet/KenLM pipeline stage):
+    // bigram LM with stupid backoff trained on the corpus, every
+    // document scored against it. Fixed-point per-position scores
+    // (floor(p*1e9) summed as integers) make the rollup independent of
+    // float summation order, so the oracle hash-matches the doubles —
+    // DuckDB re-derives the full model (unigram/bigram counts) and
+    // every position's score from the same parquet. Documents with
+    // fewer than two tokens have no bigram positions and drop out in
+    // both engines.
+    "ngram_lm_score" -> ((s, dir) => {
+      val docs = read(s, dir, "documents").select(F.col("doc_id"), F.col("text"))
+      graft.ops.NgramLm.selfScore(docs, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // keyword extraction: per-doc top-3 terms by rarity-weighted
     // frequency (tf/df), ranked through the mergeable top_k_by k-heap —
     // exact oracle (integer counts, IEEE division, term tie-break)
@@ -1257,6 +1272,25 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // the SAME pipeline in the EXHAUSTIVE regime (probeAll: one shared
+    // bucket): candidates are provably all pairs, so the output EQUALS
+    // the brute-force all-pairs shingle-Jaccard join — SQL-expressible,
+    // closing the last LSH-family query whose verify predicate DuckDB
+    // can compute (simhash's verify is murmur-valued and cannot be).
+    // Quadratic by construction, so it runs over a FIXED 200-doc slice
+    // (+ tailmarker twins) at every scale factor; the banded regime
+    // above stays the scale path.
+    "minhash_dups_exact" -> ((s, dir) => {
+      val docs = read(s, dir, "documents").filter(F.col("doc_id") < 200)
+        .select(F.col("doc_id"), F.col("text"))
+      val mutated = docs.select((F.col("doc_id") + 100000).as("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailmarker")).as("text"))
+      Dedup.minhashLshPairs(docs.unionAll(mutated), "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.7,
+        probeAll = true)
+        .orderBy("id_a", "id_b")
+    }),
+
     // EXACT n-gram Jaccard dedup (prefix-filtered AllPairs): unlike the
     // LSH pipelines above this one has no probabilistic recall, so the
     // full pair set is checkable against a brute-force SQL oracle.
@@ -1326,6 +1360,40 @@ object SparkEntry {
         .unionAll(jittered), "vec_id", "embedding", threshold = 0.999, srpBits = 0)
         .select(F.col("id_a"), F.col("id_b"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // SemDeDup (Abbas et al. 2023) in the production shape: k-means
+    // cells bound the within-cell quadratic, jittered twins are planted
+    // semantic duplicates that share their base vector's cell by
+    // construction (parallel vectors dot every centroid identically).
+    // Rows-only here — cell assignment depends on murmur-seeded Lloyd
+    // training DuckDB cannot express; OpsSpec pins the kept-set
+    // semantics on hand-built clusters and the exhaustive-regime query
+    // below carries the exact oracle.
+    "semantic_dedup" -> ((s, dir) => {
+      val embs = read(s, dir, "embeddings")
+      val jittered = embs.select((F.col("vec_id") + 100000).as("vec_id"),
+        F.transform(F.col("embedding"), x => x * F.lit(1.0001f)).as("embedding"))
+      Dedup.semanticDedup(embs.select(F.col("vec_id"), F.col("embedding"))
+        .unionAll(jittered), "vec_id", "embedding",
+        threshold = 0.999, nlist = 16)
+        .orderBy("vec_id")
+    }),
+
+    // SemDeDup in the EXHAUSTIVE regime (nlist = 1: one cell, so
+    // within-cell candidates are provably all pairs): the kept set
+    // equals a brute-force "no lower-id cosine-neighbor" scan, which
+    // DuckDB expresses directly — an exact end-to-end oracle for the
+    // cluster-join + min-id pruning machinery over a fixed 500-vector
+    // slice.
+    "semantic_dedup_exact" -> ((s, dir) => {
+      val embs = read(s, dir, "embeddings").filter(F.col("vec_id") < 500)
+      val jittered = embs.select((F.col("vec_id") + 100000).as("vec_id"),
+        F.transform(F.col("embedding"), x => x * F.lit(1.0001f)).as("embedding"))
+      Dedup.semanticDedup(embs.select(F.col("vec_id"), F.col("embedding"))
+        .unionAll(jittered), "vec_id", "embedding",
+        threshold = 0.999, nlist = 1)
+        .orderBy("vec_id")
     }),
 
     // multimodal decode + pixel-level dedup through the REAL codec path:
@@ -2147,6 +2215,29 @@ object SparkEntry {
         |WHERE CAST(i AS DOUBLE) / (sa.s + sb.s - i) >= CAST(0.7 AS DOUBLE)
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // exhaustive-regime MinHash (probeAll: one shared bucket) equals the
+    // brute-force all-pairs trigram-shingle Jaccard join over the
+    // 200-doc slice + tailmarker twins
+    "minhash_dups_exact" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |d AS (SELECT doc_id, text FROM base
+        |      UNION ALL
+        |      SELECT doc_id + 100000 AS doc_id, text || ' tailmarker' AS text FROM base),
+        |w AS (SELECT doc_id, string_split(text, ' ') ws FROM d),
+        |idx AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 1, 1))) AS i FROM w),
+        |tg AS (SELECT doc_id, list_element(ws, CAST(i AS INT)) || ' ' ||
+        |              list_element(ws, CAST(i AS INT) + 1) || ' ' ||
+        |              list_element(ws, CAST(i AS INT) + 2) AS sh FROM idx),
+        |t2 AS (SELECT DISTINCT doc_id, sh FROM tg),
+        |sz AS (SELECT doc_id, count(*) AS s FROM t2 GROUP BY 1),
+        |inter AS (SELECT a.doc_id ia, b.doc_id ib, count(*) i
+        |          FROM t2 a JOIN t2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT ia AS id_a, ib AS id_b, CAST(i AS DOUBLE) / (sa.s + sb.s - i) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+        |WHERE CAST(i AS DOUBLE) / (sa.s + sb.s - i) >= CAST(0.7 AS DOUBLE)
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // transitive closure over the brute-force trigram-Jaccard pairs at
     // t=0.5; component = min reachable doc_id
     "dedup_clusters" ->
@@ -2349,6 +2440,38 @@ object SparkEntry {
         |FROM tok t LEFT JOIN cstat USING (doc_id) LEFT JOIN bstat USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
 
+    // bigram LM with stupid backoff, trained on the corpus and scored
+    // against itself: the model (unigram/bigram counts + total) and
+    // every position's fixed-point score re-derived from the same
+    // parquet; integer accumulators make the rollup order-free
+    "ngram_lm_score" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), t -> t <> '') AS ws FROM documents),
+        |tok AS (SELECT unnest(ws) AS t FROM w),
+        |uni AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM tok),
+        |pos AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws), 1))) AS p FROM w),
+        |bg AS (SELECT doc_id,
+        |              list_element(ws, CAST(p AS INT)) AS ctx,
+        |              list_element(ws, CAST(p AS INT) + 1) AS cur FROM pos),
+        |big AS (SELECT ctx, cur, count(*) AS c FROM bg GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT bg.doc_id,
+        |    CASE WHEN big.c IS NOT NULL THEN CAST(big.c AS DOUBLE) / uc.c
+        |         ELSE 0.4 * (CAST(coalesce(un.c, 0) AS DOUBLE) / tot.n) END AS p,
+        |    CASE WHEN big.c IS NULL THEN 1 ELSE 0 END AS bo
+        |  FROM bg
+        |  LEFT JOIN big ON big.ctx = bg.ctx AND big.cur = bg.cur
+        |  LEFT JOIN uni uc ON uc.t = bg.ctx
+        |  LEFT JOIN uni un ON un.t = bg.cur
+        |  CROSS JOIN tot)
+        |SELECT doc_id,
+        |  count(*) AS n_scored,
+        |  CAST(sum(bo) AS BIGINT) AS n_backoff,
+        |  CAST(sum(CAST(floor(p * 1e9) AS BIGINT)) AS BIGINT) AS score_fp,
+        |  CAST(sum(CAST(floor(p * 1e9) AS BIGINT)) AS DOUBLE) / count(*) / 1e9 AS avg_p
+        |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
     "doc_top_terms" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |t AS (SELECT doc_id, term, count(*) AS tf FROM w WHERE term <> '' GROUP BY 1, 2),
@@ -2510,6 +2633,24 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // exhaustive-regime SemDeDup (nlist = 1): kept iff no lower-id
+    // cosine-neighbor at the threshold, over the identical slice+twin
+    // construction
+    "semantic_dedup_exact" ->
+      """WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+        |e AS (
+        |  SELECT vec_id, embedding FROM b
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_transform(embedding, x -> x * 1.0001) AS embedding
+        |  FROM b
+        |)
+        |SELECT a.vec_id AS vec_id,
+        |  NOT EXISTS (SELECT 1 FROM e b2
+        |    WHERE b2.vec_id < a.vec_id
+        |      AND list_cosine_similarity(a.embedding, b2.embedding) >= 0.999) AS kept
+        |FROM e a ORDER BY vec_id""".stripMargin,
 
     // exhaustive-regime LSH (one all-corpus bucket) equals brute force,
     // so the similarity_topk oracle applies verbatim

@@ -195,7 +195,14 @@ object Dedup {
     *
     * With r rows per band, the collision probability of a pair with true
     * Jaccard s is 1-(1-s^r)^bands — the standard S-curve; defaults
-    * (64 hashes, 16 bands, r=4) put the knee near s ~ 0.5. */
+    * (64 hashes, 16 bands, r=4) put the knee near s ~ 0.5.
+    *
+    * `probeAll = true` is the exhaustive regime: every document lands in
+    * ONE shared bucket, so the candidate set is provably all pairs and
+    * the output EQUALS the brute-force all-pairs shingle-Jaccard join —
+    * SQL-expressible, hence exactly oracle-checkable (the same trick as
+    * `srpBits = 0` in [[embeddingDupPairs]]). Quadratic by construction;
+    * only for bounded slices / correctness gates. */
   def minhashLshPairs(
       df: DataFrame,
       idCol: String,
@@ -203,7 +210,8 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       shingleSize: Int = 3,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      probeAll: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val sig = df.select(F.col(idCol),
@@ -212,12 +220,15 @@ object Dedup {
     // band b = murmur of the slice [b*r, (b+1)*r) — one row per (doc,
     // band), carrying ONLY (band, bucket, id): at corpus scale the band
     // explosion must never amplify document bodies through the shuffle
-    val banded = sig.select(
-      F.col(idCol),
-      F.posexplode(F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), b =>
-        murmur64(F.concat_ws(",",
-          F.transform(F.slice(F.col("__sig"), b * r + 1, F.lit(r)), _.cast("string"))))))
-        .as(Seq("__band", "__bucket")))
+    val banded =
+      if (probeAll) sig.select(F.col(idCol),
+        F.lit(0).as("__band"), F.lit(0L).as("__bucket"))
+      else sig.select(
+        F.col(idCol),
+        F.posexplode(F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), b =>
+          murmur64(F.concat_ws(",",
+            F.transform(F.slice(F.col("__sig"), b * r + 1, F.lit(r)), _.cast("string"))))))
+          .as(Seq("__band", "__bucket")))
 
     // bucket-join on ids; candidate pair count is O(near-dups), tiny
     // relative to the corpus
@@ -546,5 +557,49 @@ object Dedup {
       .withColumn("cosine", Similarity.cosine(F.col("va"), F.col("vb")))
       .filter(F.col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+  }
+
+  /** SemDeDup (Abbas et al. 2023): semantic near-duplicate PRUNING.
+    * Embeddings are k-means-clustered ([[Similarity.trainIvf]]:
+    * deterministic murmur-sampled seeds + distributed Lloyd), candidate
+    * pairs are generated WITHIN each cluster cell only, and a document
+    * is pruned when a lower-id member of its cell has cosine >=
+    * `threshold` (min-id as the deterministic stand-in for the paper's
+    * keep-farthest-from-centroid tie-break). Output: one row per input
+    * — (idCol, kept: boolean).
+    *
+    * Shape at scale: the cell join carries (cell, id) — 12 bytes per
+    * row — and embeddings are re-joined for candidate pairs only.
+    * Within-cell pair generation is O(sum cell^2): SemDeDup's own
+    * contract is that `nlist` grows with the corpus so cells stay
+    * near-constant size (the paper uses 50k clusters for LAION), which
+    * keeps the quadratic local and bounded. `nlist = 1` is the
+    * exhaustive regime — the candidate set is provably all pairs, so
+    * the kept set equals a brute-force cosine scan and is exactly
+    * oracle-checkable (the [[minhashLshPairs]] `probeAll` trick). */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      nlist: Int = 64,
+      lloydIters: Int = 1): DataFrame = {
+    val cents = Similarity.trainIvf(df, idCol, vecCol, nlist, lloydIters)
+    val assigned = df.select(F.col(idCol), F.col(vecCol),
+      F.element_at(Similarity.ivfCells(F.col(vecCol), cents, 1), 1).as("__cell"))
+    val slim = assigned.select(F.col("__cell"), F.col(idCol))
+    val pairs = slim.select(F.col("__cell"), F.col(idCol).as("id_a"))
+      .join(slim.select(F.col("__cell"), F.col(idCol).as("id_b")), Seq("__cell"))
+      .filter(F.col("id_a") < F.col("id_b"))
+      .select("id_a", "id_b")
+    val vecsA = df.select(F.col(idCol).as("id_a"), F.col(vecCol).as("__va"))
+    val vecsB = df.select(F.col(idCol).as("id_b"), F.col(vecCol).as("__vb"))
+    val losers = pairs.join(vecsA, "id_a").join(vecsB, "id_b")
+      .filter(Similarity.cosine(F.col("__va"), F.col("__vb")) >= threshold)
+      .select(F.col("id_b").as(idCol)).distinct()
+      .withColumn("__lost", F.lit(true))
+    df.select(F.col(idCol))
+      .join(losers, Seq(idCol), "left")
+      .select(F.col(idCol), F.col("__lost").isNull.as("kept"))
   }
 }

@@ -1111,4 +1111,51 @@ class OpsSpec extends SparkTestBase {
         big.select(cols.map(F.col): _*).collect().toSet)
     } finally spark.conf.set(thresholdKey, saved)
   }
+
+  test("minhashLshPairs probeAll regime equals brute-force shingle Jaccard") {
+    // trigram shingles: d1 {abc,bcd,cde,def}, d2 adds {efg} -> J = 4/5;
+    // d3 shares nothing
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f g"),
+      (3L, "q r s t u v")).toDF("doc_id", "text")
+    val out = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.7,
+        probeAll = true)
+      .orderBy("id_a", "id_b").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ===
+      Seq((1L, 2L, 0.8)))
+    assert(TextOps.jaccardShingles("a b c d e f", "a b c d e f g", 3) === 0.8)
+    // below-threshold regime finds nothing
+    val none = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      threshold = 0.9, probeAll = true)
+    assert(none.count() === 0L)
+  }
+
+  test("semanticDedup prunes lower-priority cell neighbors, keeps cluster representatives") {
+    // three orthogonal directions; ids 2 and 4 are planted semantic
+    // duplicates (parallel vectors, cosine exactly 1) of 1 and 3
+    val vecs = Seq(
+      (1L, Array(1.0f, 0f, 0f, 0f)),
+      (2L, Array(2.0f, 0f, 0f, 0f)),
+      (3L, Array(0f, 1.0f, 0f, 0f)),
+      (4L, Array(0f, 1.0001f, 0f, 0f)),
+      (5L, Array(0f, 0f, 1.0f, 0f))).toDF("vec_id", "embedding")
+    // clustered regime: parallel vectors rank every centroid identically,
+    // so planted twins share their base's cell by construction
+    val out = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        threshold = 0.999, nlist = 3)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(out === Seq((1L, true), (2L, false), (3L, true), (4L, false), (5L, true)))
+    // exhaustive regime (nlist = 1) agrees — one cell is provably
+    // all-pairs, the exact-oracle regime of semantic_dedup_exact
+    val exhaustive = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        threshold = 0.999, nlist = 1)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(exhaustive === out)
+    // output partitions the input: one row per id, losers + keepers
+    assert(out.map(_._1) === Seq(1L, 2L, 3L, 4L, 5L))
+  }
 }
