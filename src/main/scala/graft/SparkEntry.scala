@@ -768,6 +768,27 @@ object SparkEntry {
       Dedup.exactDedup(doubled, "doc_id", "text").orderBy("doc_id")
     }),
 
+    // incremental dedup: a NEW snapshot (odd doc_ids + planted copies of
+    // old docs + an in-batch duplicate) deduped against the EXISTING
+    // corpus (even doc_ids) through the Bloom-prefiltered exact anti
+    // join — the "dedup the fresh crawl against history without
+    // rescanning history per batch" stage. Exact at full scale (the
+    // Bloom is an accelerator, not an approximation: might-contain rows
+    // pay the exact join), so the oracle is a plain text-level
+    // first-occurrence anti join.
+    "incremental_dedup" -> ((s, dir) => {
+      val docs = read(s, dir, "documents").select(F.col("doc_id"), F.col("text"))
+      val old = docs.filter(F.col("doc_id") % 2 === 0)
+      val newBatch = docs.filter(F.col("doc_id") % 2 === 1)
+        .unionAll(old.filter(F.col("doc_id") < 100)
+          .select((F.col("doc_id") + 200000).as("doc_id"), F.col("text")))
+        .unionAll(docs.filter(F.col("doc_id") % 2 === 1 && F.col("doc_id") < 100)
+          .select((F.col("doc_id") + 300000).as("doc_id"), F.col("text")))
+      Dedup.incrementalDedup(newBatch, old, "doc_id", "text")
+        .select(F.col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // STREAMING exact dedup through the real Structured Streaming engine:
     // file-source stream -> stateful firstSeen -> memory sink, then the
     // sink read back as the result. TWO staged files processed as TWO
@@ -1777,6 +1798,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // tokenizer-coverage QA: per-document OOV rate against the top-500
+    // word vocabulary (frequency-cut, deterministic tie-break). Integer
+    // counters + one IEEE division keep it exactly oracle-checkable;
+    // the vocabulary cut itself is re-derived by DuckDB with the same
+    // (freq DESC, token ASC) total order.
+    "vocab_oov_rate" -> ((s, dir) => {
+      val d = read(s, dir, "documents")
+      val vocab = graft.ops.Vocab.wordVocab(d, "text", v = 500)
+      graft.ops.Vocab.oovReport(d, "doc_id", "text", vocab)
+        .orderBy("doc_id")
+    }),
+
     // URL canonicalization dedup (UrlOps): four deterministic fetch
     // variants of each logical page synthesized per doc_id (case noise,
     // explicit default port, trailing slash + tracking param, reordered
@@ -2196,6 +2229,24 @@ object SparkEntry {
         |  SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents
         |) GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    // first-occurrence winners of the new batch whose text never
+    // appears in the old (even-id) corpus — the Bloom prefilter is an
+    // accelerator, so plain text-level SQL is the exact semantics
+    "incremental_dedup" ->
+      """WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |newb AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, text FROM old WHERE doc_id < 100
+        |  UNION ALL
+        |  SELECT doc_id + 300000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 2 = 1 AND doc_id < 100
+        |),
+        |w AS (SELECT text, min(doc_id) AS doc_id FROM newb GROUP BY text)
+        |SELECT w.doc_id FROM w
+        |WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.text = w.text)
+        |ORDER BY doc_id""".stripMargin,
 
     // brute-force all-pairs trigram Jaccard — the prefix-filtered engine
     // output must EQUAL this by the prefix-filtering completeness lemma
@@ -2877,6 +2928,20 @@ object SparkEntry {
         |)
         |SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
         |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // vocabulary cut re-derived with the same (freq DESC, token ASC)
+    // total order; per-doc OOV counters are integers + one division
+    "vocab_oov_rate" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), t -> t <> '') AS ws FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+        |freq AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+        |voc AS (SELECT t FROM freq ORDER BY c DESC, t ASC LIMIT 500)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_rate
+        |FROM tok LEFT JOIN voc v ON v.t = tok.t
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the full canonicalization pipeline re-derived in SQL: fragment
     // strip, scheme/host casefold, www/default-port removal, path

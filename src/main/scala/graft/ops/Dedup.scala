@@ -187,6 +187,33 @@ object Dedup {
       .select(F.col(idCol).as("dup_id"), F.col("__keep").as("kept_id"))
   }
 
+  /** Incremental exact dedup: the rows of a NEW snapshot that are
+    * first occurrences (min id) of content never seen in the EXISTING
+    * corpus — the "dedup the fresh crawl against 100 TB of history
+    * without rescanning history per batch" pipeline stage.
+    *
+    * Shape at scale: the new batch self-dedups on (hash, id) — 16
+    * bytes per row — then probes a Bloom sketch of the old corpus's
+    * content hashes (the reference's `ckblm` membership semantics as a
+    * join pushdown, [[BloomJoin.anti]]): Bloom-rejected rows are
+    * PROVABLY absent from history and ship join-free; only the
+    * might-contain subset (true dups + ~FPR of the batch) pays the
+    * exact anti join against the old hash column, so the result is
+    * exact, not probabilistic. Here the sketch is built inline (one
+    * scan of `oldDf`); a production deployment amortizes that scan by
+    * persisting the bank once per corpus version (`SketchBuildJob`)
+    * and only re-sketching on compaction. Content identity is 64-bit
+    * hash-only — the same documented collision tradeoff as
+    * [[exactDedup]]. */
+  def incrementalDedup(newDf: DataFrame, oldDf: DataFrame, idCol: String,
+      textCol: String, bitsPerItem: Int = 16): DataFrame = {
+    val hNew = newDf.select(F.col(idCol), murmur64(F.col(textCol)).as("__h"))
+    val winners = hNew.groupBy("__h").agg(F.min(F.col(idCol)).as(idCol))
+    val oldH = oldDf.select(murmur64(F.col(textCol)).as("__h"))
+    val fresh = BloomJoin.anti(winners, "__h", oldH, "__h").select(F.col(idCol))
+    newDf.join(fresh, Seq(idCol), "left_semi")
+  }
+
   /** MinHash + LSH near-duplicate pairs: signature of `numHashes`
     * min-hashes over `shingleSize`-token shingles, banded into `bands`
     * groups of r = numHashes/bands rows. Two docs collide in a bucket iff

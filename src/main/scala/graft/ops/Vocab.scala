@@ -40,6 +40,44 @@ object Vocab {
       .limit(k)
   }
 
+  /** Top-`v` corpus tokens by frequency — the word-vocabulary cut
+    * tokenizer-coverage QA starts from. Deterministic at the boundary:
+    * ties break ascending on the token itself. Output: (token, freq).
+    * The top-v compiles to TakeOrdered (bounded by v per partition),
+    * never a global sort. */
+  def wordVocab(df: DataFrame, textCol: String, v: Int): DataFrame = {
+    require(v >= 1, "v must be >= 1")
+    df.select(F.explode(Decontaminate.tokens(F.col(textCol))).as("token"))
+      .groupBy("token").agg(F.count(F.lit(1)).as("freq"))
+      .orderBy(F.col("freq").desc, F.col("token").asc)
+      .limit(v)
+  }
+
+  /** Per-document vocabulary coverage against `vocab` (any DataFrame
+    * with a `token` column — typically [[wordVocab]]'s output): token
+    * count, out-of-vocabulary count and rate. The OOV rate is the
+    * tokenizer-QA gate every pipeline runs before committing to a
+    * vocabulary — a rate spike on a slice means the vocab was trained
+    * on the wrong distribution.
+    *
+    * Shape at scale: the vocabulary is broadcast (bounded by v), so
+    * the token stream never shuffles — the only exchange carries
+    * (doc id, partial counters). Documents with zero tokens have no
+    * rows to count and drop out. */
+  def oovReport(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val toks = df.select(F.col(idCol).as("__id"),
+      F.explode(Decontaminate.tokens(F.col(textCol))).as("__t"))
+    val inVocab = F.broadcast(vocab.select(F.col("token").as("__t")).distinct()
+      .withColumn("__in", F.lit(true)))
+    toks.join(inVocab, Seq("__t"), "left")
+      .groupBy(F.col("__id"))
+      .agg(F.count(F.lit(1)).as("n_tokens"),
+        F.sum(F.when(F.col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", F.col("n_oov") / F.col("n_tokens"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** Train `numMerges` character-level BPE merges (Sennrich et al. 2016)
     * over the corpus. Returns one row per merge in training order:
     * (rank, left, right, pair_count), rank 1-based; ties in pair count

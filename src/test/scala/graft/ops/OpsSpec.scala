@@ -1112,6 +1112,34 @@ class OpsSpec extends SparkTestBase {
     } finally spark.conf.set(thresholdKey, saved)
   }
 
+  test("incrementalDedup: batch self-dedup + history anti-join, exact under forced Bloom FPs") {
+    val old = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha text"), // dup of history -> dropped
+      (11L, "gamma text"), // fresh, first occurrence -> kept
+      (12L, "gamma text"), // in-batch dup of 11 -> dropped
+      (13L, "beta text"), // dup of history -> dropped
+      (14L, "delta text")) // fresh -> kept
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(batch, old, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(11L, 14L))
+    // original columns survive
+    assert(out.map(_.getString(1)).toSeq === Seq("gamma text", "delta text"))
+
+    // exactness under heavy false positives: bitsPerItem = 1 forces the
+    // Bloom into its worst regime; the might-contain subset pays the
+    // exact join, so the output must not change
+    val noisy = Dedup.incrementalDedup(batch, old, "doc_id", "text", bitsPerItem = 1)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(noisy === Seq(11L, 14L))
+
+    // empty history: everything fresh self-dedups
+    val noHist = Dedup.incrementalDedup(batch, old.limit(0), "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(noHist === Seq(10L, 11L, 13L, 14L))
+  }
+
   test("minhashLshPairs probeAll regime equals brute-force shingle Jaccard") {
     // trigram shingles: d1 {abc,bcd,cde,def}, d2 adds {efg} -> J = 4/5;
     // d3 shares nothing

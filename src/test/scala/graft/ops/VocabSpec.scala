@@ -145,4 +145,34 @@ class VocabSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
   }
+
+  test("wordVocab frequency cut and oovReport per-doc coverage") {
+    val corpus = Seq(
+      (1L, "a a a b b c"),
+      (2L, "a b x"),
+      (3L, "")).toDF("doc_id", "text")
+    // freqs: a:4 b:3 c:1 x:1 -> top-2 = {a, b}; c/x tie broken by token asc
+    val v2 = Vocab.wordVocab(corpus, "text", 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(v2 === Seq(("a", 4L), ("b", 3L)))
+    val v3 = Vocab.wordVocab(corpus, "text", 3).collect().map(_.getString(0)).toSeq
+    assert(v3 === Seq("a", "b", "c"))
+    // vocab cut compiles to TakeOrdered, never a global sort
+    val plan = Vocab.wordVocab(corpus, "text", 2).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+
+    val rep = Vocab.oovReport(corpus, "doc_id", "text",
+        Vocab.wordVocab(corpus, "text", 2))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // doc1: 6 tokens, 1 oov (c); doc2: 3 tokens, 1 oov (x); doc3 (empty)
+    // has no token rows and drops out
+    assert(rep === Seq((1L, 6L, 1L, 1.0 / 6), (2L, 3L, 1L, 1.0 / 3)))
+
+    // the vocabulary join is a broadcast (the token stream never shuffles
+    // on token)
+    val repPlan = Vocab.oovReport(corpus, "doc_id", "text",
+      Vocab.wordVocab(corpus, "text", 2)).queryExecution.executedPlan.toString
+    assert(repPlan.contains("BroadcastHashJoin"), repPlan.take(400))
+  }
 }

@@ -20,9 +20,15 @@ class PlanAuditSpec extends SparkTestBase {
   private val sf = "/root/testdata/sf0.001"
 
   /** Queries whose documented shape is a broadcast cross join: the
-    * brute-force ANN baseline, and the 1-row sketch-threshold broadcast
-    * of the KLL-driven length filter. */
-  private val allowBroadcastCross = Set("similarity_topk", "pipeline_length_filter")
+    * brute-force ANN baseline; the 1-row sketch-threshold broadcast of
+    * the KLL-driven length filter; the 1-row total-token broadcast of
+    * the LM scorer; and the exhaustive-regime MinHash whose probe-all
+    * bucket is a constant — Catalyst folds the constant-key equi-join
+    * into a broadcast cross, which is the RIGHT plan for the bounded
+    * deliberate all-pairs slice (a hash join on a constant key would
+    * route every row through one partition). */
+  private val allowBroadcastCross = Set("similarity_topk",
+    "pipeline_length_filter", "ngram_lm_score", "minhash_dups_exact")
 
   test("no driver query plans a cartesian; broadcast crosses only where designed") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()
