@@ -1298,11 +1298,11 @@ object SparkEntry {
     // the brute-force all-pairs shingle-Jaccard join — SQL-expressible,
     // closing the last LSH-family query whose verify predicate DuckDB
     // can compute (simhash's verify is murmur-valued and cannot be).
-    // Quadratic by construction, so it runs over a FIXED 200-doc slice
+    // Quadratic by construction, so it runs over a FIXED 100-doc slice
     // (+ tailmarker twins) at every scale factor; the banded regime
     // above stays the scale path.
     "minhash_dups_exact" -> ((s, dir) => {
-      val docs = read(s, dir, "documents").filter(F.col("doc_id") < 200)
+      val docs = read(s, dir, "documents").filter(F.col("doc_id") < 100)
         .select(F.col("doc_id"), F.col("text"))
       val mutated = docs.select((F.col("doc_id") + 100000).as("doc_id"),
         F.concat(F.col("text"), F.lit(" tailmarker")).as("text"))
@@ -2268,9 +2268,9 @@ object SparkEntry {
 
     // exhaustive-regime MinHash (probeAll: one shared bucket) equals the
     // brute-force all-pairs trigram-shingle Jaccard join over the
-    // 200-doc slice + tailmarker twins
+    // 100-doc slice + tailmarker twins
     "minhash_dups_exact" ->
-      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
         |d AS (SELECT doc_id, text FROM base
         |      UNION ALL
         |      SELECT doc_id + 100000 AS doc_id, text || ' tailmarker' AS text FROM base),
