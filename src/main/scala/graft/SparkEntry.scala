@@ -1211,6 +1211,36 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // product-quantization ANN (Jégou et al. 2011) — the compressed-
+    // index path: corpus encoded to m=8 codes/row, ADC-scored shortlist,
+    // exact-cosine rerank of shortlist ids only. Production regime
+    // (shortlist a few times k) is rows-only; recall vs brute force is
+    // pinned in OpsSpec, and the exhaustive regime below carries the
+    // exact oracle.
+    "pq_topk" -> ((s, dir) => memo("pq_topk", s, dir) {
+      val embs = read(s, dir, "embeddings")
+      val queries = embs.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").as("query_id"), F.col("embedding").as("qvec"))
+      Similarity.pqTopK(embs, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 10, m = 8, kc = 16, shortlist = 50)
+        .select(F.col("query_id"), F.col("vec_id"), F.col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // PQ in the EXHAUSTIVE regime (shortlist >= |corpus slice|): every
+    // corpus row reaches the exact rerank, so the output provably
+    // equals brute force row for row REGARDLESS of codebook quality —
+    // the similarity_topk oracle restricted to the slice.
+    "pq_topk_exact" -> ((s, dir) => memo("pq_topk_exact", s, dir) {
+      val embs = read(s, dir, "embeddings").filter(F.col("vec_id") < 500)
+      val queries = embs.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").as("query_id"), F.col("embedding").as("qvec"))
+      Similarity.pqTopK(embs, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 10, m = 8, kc = 16, shortlist = 500)
+        .select(F.col("query_id"), F.col("vec_id"), F.col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // SRP-LSH approximate top-k — the scale path of similarity_topk:
     // multi-table signature buckets, bucket-local rerank. The testdata
     // embeddings are isotropic noise (pairwise cosine ~ 0), where no LSH
@@ -2711,6 +2741,17 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY q.vec_id
         |      ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC, c.vec_id) AS rank
         |  FROM embeddings c, embeddings q WHERE q.vec_id < 5
+        |) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // exhaustive-shortlist PQ equals brute force (every slice row is
+    // exact-reranked), so the brute-force oracle applies on the slice
+    "pq_topk_exact" ->
+      """SELECT query_id, vec_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC, c.vec_id) AS rank
+        |  FROM embeddings c, embeddings q
+        |  WHERE q.vec_id < 5 AND c.vec_id < 500
         |) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // exhaustive-probe IVF equals brute force, so the brute-force oracle

@@ -221,6 +221,107 @@ object Similarity {
         cosine(F.col(corpusVec), F.col(queryVec)).as("cosine"))
     topKPerQuery(candidates, queryId, corpusId, k)
   }
+
+  /** The PQ encoder as a column: m L2-nearest-centroid codes of the
+    * normalized input blocks (see [[PqEncodeExpr]]). */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    column(PqEncodeExpr(expression(vec), codebooks))
+
+  /** The PQ asymmetric-distance score as a column: approximate cosine of
+    * an encoded corpus vector against a raw query ([[PqAdcScoreExpr]]). */
+  def pqAdcScore(codes: Column, query: Column,
+      codebooks: Array[Array[Array[Double]]]): Column =
+    column(PqAdcScoreExpr(expression(codes), expression(query), codebooks))
+
+  /** Deterministic product-quantization codebook training (Jégou et al.
+    * 2011): the corpus is L2-normalized, split into `m` equal blocks,
+    * and each block gets `kc` centroids — seeded from the corpus rows
+    * with the smallest murmur64(id) (the [[trainIvf]] sampling trick,
+    * TakeOrdered, never a full sort) and refined by `lloydIters` Lloyd
+    * iterations. Assignment runs distributed as the codegen'd
+    * [[PqEncodeExpr]]; block means come from ONE posexplode aggregation
+    * per iteration (the exchange carries (block, code, dim, partial
+    * mean) — m*kc*dsub rows, never vectors); a cell that attracts no
+    * vectors keeps its previous centroid. Only the m x kc x dsub
+    * codebook tensor is ever collected. */
+  def trainPq(corpus: DataFrame, corpusId: String, corpusVec: String,
+      m: Int, kc: Int, lloydIters: Int = 1): Array[Array[Array[Double]]] = {
+    require(m >= 1 && kc >= 1, "m and kc must be >= 1")
+    val seedRows = corpus.select(F.col(corpusId), F.col(corpusVec))
+      .orderBy(murmur64(F.col(corpusId)), F.col(corpusId))
+      .limit(kc).collect()
+    require(seedRows.nonEmpty, "cannot train PQ on an empty corpus")
+    val dims = seedRows.head.getSeq[Any](1).length
+    require(dims % m == 0, s"dims=$dims must divide into m=$m blocks")
+    val dsub = dims / m
+    // codebook[b][c] = block b of the c-th normalized seed (duplicate
+    // seeds are harmless: the lower index wins every tie and the orphan
+    // cell just keeps its centroid)
+    var books = Array.tabulate(m, kc) { (b, c) =>
+      val v = normalize(vecToDouble(seedRows(c % seedRows.length).getSeq[Any](1)))
+      java.util.Arrays.copyOfRange(v, b * dsub, (b + 1) * dsub)
+    }
+    var it = 0
+    while (it < lloydIters) {
+      val normCol = F.sqrt(F.aggregate(F.col(corpusVec), F.lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))
+      val assigned = corpus.select(
+          pqEncode(F.col(corpusVec), books).as("__codes"),
+          normCol.as("__n"),
+          F.posexplode(F.col(corpusVec)).as(Seq("__dim", "__x")))
+        .filter(F.col("__n") > 0)
+        .select((F.col("__dim") / F.lit(dsub)).cast("int").as("__b"),
+          F.element_at(F.col("__codes"),
+            (F.col("__dim") / F.lit(dsub)).cast("int") + 1).as("__code"),
+          F.col("__dim").as("__d"),
+          (F.col("__x").cast("double") / F.col("__n")).as("__xn"))
+      val means = assigned.groupBy("__b", "__code", "__d")
+        .agg(F.avg("__xn").as("__mean")).collect()
+      val next = Array.tabulate(m, kc)((b, c) => books(b)(c).clone())
+      means.foreach { r =>
+        val b = r.getInt(0)
+        next(b)(r.getInt(1))(r.getInt(2) - b * dsub) = r.getDouble(3)
+      }
+      books = next
+      it += 1
+    }
+    books
+  }
+
+  /** PQ top-k — the compressed-index ANN path next to SRP-LSH and IVF:
+    * the corpus is encoded once to m small ints per row
+    * ([[PqEncodeExpr]]), every (query, candidate) pair pays an
+    * m-lookup ADC score instead of a dims-wide dot, the best
+    * `shortlist` candidates per query survive through the mergeable
+    * `top_k_by` heap, and only the shortlist re-joins its RAW vectors
+    * for the exact cosine rerank (the exchange between scoring and
+    * rerank carries ids only).
+    *
+    * `shortlist >= |corpus|` is the EXHAUSTIVE regime: every corpus row
+    * reaches the exact rerank, so the output provably equals
+    * [[bruteForceTopK]] row for row regardless of codebook quality —
+    * the oracle-checkable configuration. Production regime: shortlist a
+    * few times k; recall is the [[graft.ops.OpsSpec]]-tested knob. */
+  def pqTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, m: Int = 8, kc: Int = 16, shortlist: Int = 50,
+      lloydIters: Int = 1): DataFrame = {
+    val books = trainPq(corpus, corpusId, corpusVec, m, kc, lloydIters)
+    val enc = corpus.select(F.col(corpusId),
+      pqEncode(F.col(corpusVec), books).as("__codes"))
+    val q = F.broadcast(queries.select(F.col(queryId), F.col(queryVec)))
+    val adc = enc.crossJoin(q).select(F.col(queryId), F.col(corpusId),
+      pqAdcScore(F.col("__codes"), F.col(queryVec), books).as("cosine"))
+    val short = topKPerQuery(adc, queryId, corpusId, math.max(shortlist, k))
+      .select(F.col(queryId), F.col(corpusId))
+    val rerank = short
+      .join(corpus.select(F.col(corpusId), F.col(corpusVec)), Seq(corpusId))
+      .join(q, Seq(queryId))
+      .select(F.col(queryId), F.col(corpusId),
+        cosine(F.col(corpusVec), F.col(queryVec)).as("cosine"))
+    topKPerQuery(rerank, queryId, corpusId, k)
+  }
 }
 
 /** Per-JVM cache of SRP hyperplane matrices (seed, bits, dims) —

@@ -350,3 +350,178 @@ case class SrpMultiprobeExpr(child: Expression, bits: Int, seed: Long, nflip: In
   override protected def withNewChildInternal(c: Expression): SrpMultiprobeExpr =
     copy(child = c)
 }
+
+/** `PqEncodeExpr(vec, codebooks)` — the product-quantization encoder
+  * (Jégou et al. 2011): the input vector is L2-NORMALIZED (so dot
+  * ranking equals cosine ranking downstream), split into
+  * m = codebooks.length equal blocks, and each block is replaced by the
+  * index of its L2-nearest centroid in that block's codebook (ties
+  * break on the lower index — deterministic). Output: array<int> of m
+  * codes — the 100 TB story: a corpus row's similarity evidence
+  * compresses from dims floats to m small ints, so the ANN exchange
+  * and the resident index shrink by ~dims*4/m bytes per row.
+  *
+  * The codebook tensor is a plan constant (training happens before plan
+  * construction, [[graft.ops.Similarity.trainPq]]) of m x kc x dsub
+  * doubles — kilobytes at sane settings. Codegen'd through a reference
+  * object like [[SrpSignatureExpr]]. A dimension mismatch fails loudly:
+  * an encoder silently mis-slicing blocks would poison every downstream
+  * score. */
+case class PqEncodeExpr(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (codebooks.isEmpty || codebooks.exists(_.isEmpty))
+      return TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs at least one centroid per block")
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> or array<double>, got ${other.catalogString}")
+    }
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  @transient private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  def encode(arr: ArrayData): ArrayData = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val dims = arr.numElements()
+    if (dims != m * dsub) {
+      throw new IllegalArgumentException(
+        s"pq_encode: vector has $dims dims, codebooks expect ${m * dsub} ($m blocks x $dsub)")
+    }
+    var normSq = 0.0
+    var d = 0
+    while (d < dims) {
+      val x = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+      normSq += x * x
+      d += 1
+    }
+    val inv = if (normSq > 0.0) 1.0 / math.sqrt(normSq) else 0.0
+    val out = new Array[Int](m)
+    var b = 0
+    while (b < m) {
+      val book = codebooks(b)
+      var best = 0
+      var bestDist = Double.PositiveInfinity
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var dist = 0.0
+        var j = 0
+        while (j < dsub) {
+          val x = (if (isFloat) arr.getFloat(b * dsub + j).toDouble
+                   else arr.getDouble(b * dsub + j)) * inv
+          val diff = x - cent(j)
+          dist += diff * diff
+          j += 1
+        }
+        if (dist < bestDist) { bestDist = dist; best = c }
+        c += 1
+      }
+      out(b) = best
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any): Any = encode(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncExpr", this, classOf[PqEncodeExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.encode($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncodeExpr =
+    copy(child = c)
+}
+
+/** `PqAdcScoreExpr(codes, query, codebooks)` — asymmetric distance
+  * computation: the approximate cosine of an ENCODED corpus vector
+  * against a RAW query, as the sum over blocks of
+  * dot(centroid[b][code_b], normalizedQuerySub_b). The query is
+  * normalized inside (once per evaluation; queries are broadcast and
+  * few), the corpus side never decodes — m array lookups and m*dsub
+  * multiply-adds per candidate, independent of whether the original
+  * vectors were floats or doubles.
+  *
+  * Scoring-kernel degradation mirrors [[CosineSimExpr]]: a
+  * dimension-mismatched query scores 0.0 rather than vanishing; a
+  * corrupt code (out of codebook range) fails loudly. */
+case class PqAdcScoreExpr(left: Expression, right: Expression,
+    codebooks: Array[Array[Array[Double]]]) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    left.dataType match {
+      case ArrayType(IntegerType, _) => ()
+      case other => return TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<int> codes, got ${other.catalogString}")
+    }
+    right.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> or array<double> query, got ${other.catalogString}")
+    }
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc_score"
+
+  @transient private lazy val queryFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  def score(codes: ArrayData, q: ArrayData): Double = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    if (codes.numElements() != m || q.numElements() != m * dsub) return 0.0
+    var normSq = 0.0
+    var d = 0
+    val dims = m * dsub
+    while (d < dims) {
+      val x = if (queryFloat) q.getFloat(d).toDouble else q.getDouble(d)
+      normSq += x * x
+      d += 1
+    }
+    if (normSq == 0.0) return 0.0
+    val inv = 1.0 / math.sqrt(normSq)
+    var acc = 0.0
+    var b = 0
+    while (b < m) {
+      val code = codes.getInt(b)
+      if (code < 0 || code >= codebooks(b).length) {
+        throw new IllegalArgumentException(
+          s"pq_adc_score: code $code out of range for block $b (kc=${codebooks(b).length})")
+      }
+      val cent = codebooks(b)(code)
+      var j = 0
+      while (j < dsub) {
+        val x = (if (queryFloat) q.getFloat(b * dsub + j).toDouble
+                 else q.getDouble(b * dsub + j)) * inv
+        acc += cent(j) * x
+        j += 1
+      }
+      b += 1
+    }
+    acc
+  }
+
+  override protected def nullSafeEval(c: Any, q: Any): Any =
+    score(c.asInstanceOf[ArrayData], q.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdcExpr", this, classOf[PqAdcScoreExpr].getName)
+    defineCodeGen(ctx, ev, (c, q) => s"$ref.score($c, $q)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcScoreExpr =
+    copy(left = l, right = r)
+}

@@ -1112,6 +1112,48 @@ class OpsSpec extends SparkTestBase {
     } finally spark.conf.set(thresholdKey, saved)
   }
 
+  test("pqTopK: exhaustive shortlist equals brute force; production shortlist has high recall") {
+    val embsSlice = embs.filter(F.col("vec_id") < 300)
+      .select(F.col("vec_id"), F.col("embedding"))
+    val queries = embsSlice.filter(F.col("vec_id") < 5)
+      .select(F.col("vec_id").as("query_id"), F.col("embedding").as("qvec"))
+    val brute = Similarity.bruteForceTopK(embsSlice, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 10)
+      .select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    // exhaustive regime: shortlist >= slice size -> row-for-row equality
+    // with brute force, independent of codebook quality
+    val exhaustive = Similarity.pqTopK(embsSlice, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 10, m = 8, kc = 4, shortlist = 300)
+      .select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(exhaustive === brute)
+
+    // production regime: ADC shortlist + exact rerank recovers most of
+    // the true top-10 (isotropic noise is LSH/PQ's worst case; the ADC
+    // scan still orders candidates well enough at shortlist = 5k)
+    val approx = Similarity.pqTopK(embsSlice, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 10, m = 8, kc = 16, shortlist = 50)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteIds = brute.map { case (q, v, _) => (q, v) }
+    val recall = approx.intersect(bruteIds).size.toDouble / bruteIds.size
+    assert(recall >= 0.5, s"PQ recall $recall below floor")
+
+    // encoder semantics: parallel vectors normalize identically, so
+    // they encode to identical codes; codes live in [0, kc)
+    val twins = Seq(
+      (1L, Array(1.0f, 0f, 0f, 0f)), (2L, Array(3.0f, 0f, 0f, 0f)),
+      (3L, Array(0f, 2.0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val books = Similarity.trainPq(twins, "vec_id", "embedding", m = 2, kc = 2)
+    val codes = twins.select(F.col("vec_id"),
+        Similarity.pqEncode(F.col("embedding"), books).as("c"))
+      .orderBy("vec_id").collect().map(_.getSeq[Int](1).toSeq)
+    assert(codes(0) === codes(1), "parallel vectors must share codes")
+    assert(codes.flatten.forall(c => c >= 0 && c < 2))
+  }
+
   test("incrementalDedup: batch self-dedup + history anti-join, exact under forced Bloom FPs") {
     val old = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
     val batch = Seq(

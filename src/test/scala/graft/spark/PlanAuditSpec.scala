@@ -28,7 +28,10 @@ class PlanAuditSpec extends SparkTestBase {
     * deliberate all-pairs slice (a hash join on a constant key would
     * route every row through one partition). */
   private val allowBroadcastCross = Set("similarity_topk",
-    "pipeline_length_filter", "ngram_lm_score", "minhash_dups_exact")
+    "pipeline_length_filter", "ngram_lm_score", "minhash_dups_exact",
+    // the PQ ADC scan crosses the corpus codes against the BROADCAST
+    // query set — the brute-force ANN design with an m-lookup kernel
+    "pq_topk", "pq_topk_exact")
 
   test("no driver query plans a cartesian; broadcast crosses only where designed") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()
