@@ -126,6 +126,25 @@ object SparkEntry {
           hll_distinct(F.col("l_partkey"), 14).as("approx_parts"))
     }),
 
+    // sketch set algebra: distinct-doc overlap between two OVERLAPPING
+    // corpus snapshots (60%/60% with a 20% shared band) estimated from
+    // their pre-aggregated HLL sketches alone — union via the scalar
+    // hll_union (register-wise max), intersection by inclusion-
+    // exclusion. Rows-only (estimates); GraftFunctionsSpec pins the
+    // union byte-identity with the aggregate merge and the intersection
+    // error bound on this exact construction.
+    "snapshot_overlap_sketch" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val sk = docs.agg(
+        hll_sketch(F.when(F.col("doc_id") % 10 < 6, F.col("doc_id")), 14).as("a"),
+        hll_sketch(F.when(F.col("doc_id") % 10 >= 4, F.col("doc_id")), 14).as("b"))
+      sk.select(
+        hll_estimate(F.col("a")).as("est_a"),
+        hll_estimate(F.col("b")).as("est_b"),
+        hll_estimate(hll_union(F.col("a"), F.col("b"))).as("est_union"),
+        hll_intersect_estimate(F.col("a"), F.col("b")).as("est_intersect"))
+    }),
+
     "sketch_quantiles" -> ((s, dir) => {
       val sk = read(s, dir, "lineitem").agg(kll_sketch(F.col("l_extendedprice"), 200).as("sk"))
       sk.select(
@@ -1126,6 +1145,35 @@ object SparkEntry {
           F.col("avg_token_len"), F.col("punct_ratio"), F.col("alpha_ratio"),
           F.col("quality_score"))
         .orderBy("doc_id")
+    }),
+
+    // per-source curation dashboard: docs bucketed into 20 synthetic
+    // domains, rolled up to doc counts, token volume, mean quality and
+    // exact-duplicate counts per domain — the report a crawl pipeline
+    // reads before deciding which sources to keep. Mean quality stays
+    // exactly oracle-checkable because quality_score lands on a tenth
+    // after its round(.,4): round(qs*10) is an exact integer per doc, so
+    // the rollup sums integers (order-free) and divides once.
+    "domain_quality_rollup" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val q = TextAnalysis.qualityScore(docs, "text")
+        .select(F.col("doc_id"), F.col("n_tokens"), F.col("quality_score"))
+      val losers = Dedup.exactDupLosers(docs, "doc_id", "text")
+        .select(F.col("dup_id").as("doc_id"), F.lit(1L).as("__dup"))
+      q.withColumn("domain", F.concat(F.lit("site"),
+          F.pmod(F.col("doc_id"), F.lit(20L)).cast("string"),
+          F.lit(".example.com")))
+        .join(losers, Seq("doc_id"), "left")
+        .groupBy(F.col("domain"))
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum(F.col("n_tokens").cast("long")).as("sum_tokens"),
+          F.sum(F.round(F.col("quality_score") * 10).cast("long")).as("__q10"),
+          F.sum(F.coalesce(F.col("__dup"), F.lit(0L))).as("n_dups"))
+        .select(F.col("domain"), F.col("n_docs"), F.col("sum_tokens"),
+          (F.col("__q10").cast("double") / F.col("n_docs") / F.lit(10.0))
+            .as("mean_quality"),
+          F.col("n_dups"))
+        .orderBy("domain")
     }),
 
     // token budget counting: whitespace + subword-proxy, exact oracle
@@ -2631,6 +2679,43 @@ object SparkEntry {
         |      + (CASE WHEN punct_ratio <= 0.1 THEN 0.2 ELSE 0.0 END)
         |      + (CASE WHEN digit_ratio <= 0.2 THEN 0.1 ELSE 0.0 END), 4) AS quality_score
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // the text_quality derivation rolled up per synthetic domain, plus
+    // the exact-duplicate counter; integer accumulators + one division
+    "domain_quality_rollup" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    length(text) AS n_chars,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+        |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+        |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, text, n_tokens,
+        |    CASE WHEN n_chars > 0 THEN round(punct::double / n_chars, 4) ELSE 0.0 END AS punct_ratio,
+        |    CASE WHEN n_chars > 0 THEN round(digits::double / n_chars, 4) ELSE 0.0 END AS digit_ratio,
+        |    CASE WHEN n_chars > 0 THEN round(alpha::double / n_chars, 4) ELSE 0.0 END AS alpha_ratio
+        |  FROM f
+        |), q AS (
+        |  SELECT doc_id, text, n_tokens,
+        |    round((CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 0.4 ELSE 0.0 END)
+        |        + (CASE WHEN alpha_ratio >= 0.6 THEN 0.3 ELSE 0.0 END)
+        |        + (CASE WHEN punct_ratio <= 0.1 THEN 0.2 ELSE 0.0 END)
+        |        + (CASE WHEN digit_ratio <= 0.2 THEN 0.1 ELSE 0.0 END), 4) AS qs
+        |  FROM r
+        |), j AS (
+        |  SELECT 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS domain,
+        |    n_tokens, qs,
+        |    CASE WHEN doc_id > min(doc_id) OVER (PARTITION BY text) THEN 1 ELSE 0 END AS is_dup
+        |  FROM q
+        |)
+        |SELECT domain, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(CAST(round(qs * 10) AS BIGINT)) AS DOUBLE) / count(*) / 10.0 AS mean_quality,
+        |  CAST(sum(is_dup) AS BIGINT) AS n_dups
+        |FROM j GROUP BY 1 ORDER BY domain""".stripMargin,
 
     "token_counts" ->
       """SELECT doc_id,

@@ -120,6 +120,41 @@ case class HllEstimate(child: Expression)
     copy(child = newChild)
 }
 
+/** `hll_union(a, b)` — row-wise union of two serialized HLL sketches
+  * (register-wise max, exactly the aggregate merge as a scalar): the
+  * primitive behind sketch SET ALGEBRA over pre-aggregated sketch
+  * columns — union estimate = `hll_estimate(hll_union(a, b))`,
+  * intersection by inclusion-exclusion
+  * (`graft.spark.functions.hll_intersect_estimate`). Deserializes
+  * fresh per evaluation (the merge MUTATES, so the shared
+  * [[SketchCache]] must not be used here); union rows are
+  * post-aggregation — few and wide, not corpus-scale. */
+case class HllUnion(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val f = SketchTypeChecks.binaryFirst(prettyName, left.dataType)
+    if (f.isFailure) f else SketchTypeChecks.binaryFirst(prettyName, right.dataType)
+  }
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hll_union"
+
+  def union(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    HllSketch.deserialize(a).merge(HllSketch.deserialize(b)).serialize()
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    union(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hllUnionExpr", this, classOf[HllUnion].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.union($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HllUnion =
+    copy(left = l, right = r)
+}
+
 /** `cms_estimate(sketchBytes, key)` — upper-bounded frequency estimate. */
 case class CmsEstimate(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -111,6 +111,20 @@ object functions {
   def hll_estimate(sketch: Column): Column =
     column(HllEstimate(expression(sketch)))
 
+  /** Row-wise union of two serialized HLL sketches (register-wise max —
+    * the aggregate merge as a scalar): sketch set algebra over
+    * pre-aggregated sketch columns. */
+  def hll_union(a: Column, b: Column): Column =
+    column(HllUnion(expression(a), expression(b)))
+
+  /** Distinct-intersection estimate of two HLL sketches by
+    * inclusion-exclusion: est(a) + est(b) - est(a UNION b). Relative
+    * error compounds through the subtraction — reliable when the true
+    * intersection is not tiny relative to the union (the standard HLL
+    * set-algebra caveat); can be slightly negative on disjoint sets. */
+  def hll_intersect_estimate(a: Column, b: Column): Column =
+    hll_estimate(a) + hll_estimate(b) - hll_estimate(hll_union(a, b))
+
   def cms_estimate(sketch: Column, key: Column): Column =
     column(CmsEstimate(expression(sketch), expression(key)))
 

@@ -409,4 +409,34 @@ class GraftFunctionsSpec extends SparkTestBase {
     }
     assert(ex.getMessage != null)
   }
+
+  test("hll_union is byte-identical to the aggregate merge; intersection estimate tracks exact") {
+    val n = 10000
+    val ids = spark.range(n).select(F.col("id"))
+    // A = [0, 6000), B = [4000, 10000): true intersection 2000, union 10000
+    val sk = ids.agg(
+      hll_sketch(F.when(F.col("id") < 6000, F.col("id")), 14).as("a"),
+      hll_sketch(F.when(F.col("id") >= 4000, F.col("id")), 14).as("b"),
+      hll_sketch(F.col("id"), 14).as("all"))
+    val row = sk.select(
+      hll_union(F.col("a"), F.col("b")).as("u"),
+      F.col("all"),
+      hll_estimate(F.col("a")).as("ea"),
+      hll_estimate(F.col("b")).as("eb"),
+      hll_intersect_estimate(F.col("a"), F.col("b")).as("ei")).head()
+    // union of the two half sketches covers exactly the same distinct
+    // set as the whole-corpus sketch, and serialization is canonical,
+    // so the bytes must be IDENTICAL — the scalar union IS the merge
+    assert(java.util.Arrays.equals(row.getAs[Array[Byte]]("u"), row.getAs[Array[Byte]]("all")))
+    // estimates within the p=14 envelope (sigma ~ 0.0081): 5% slack on
+    // the halves, and the intersection compounds three estimates
+    assert(math.abs(row.getAs[Long]("ea") - 6000L) <= 300, s"est_a=${row.getAs[Long]("ea")}")
+    assert(math.abs(row.getAs[Long]("eb") - 6000L) <= 300)
+    assert(math.abs(row.getAs[Long]("ei") - 2000L) <= 600, s"est_i=${row.getAs[Long]("ei")}")
+    // SQL surface
+    ids.select(hll_sketch(F.col("id"), 12).as("s")).createOrReplaceTempView("hu_s")
+    val viaSql = spark.sql(
+      "SELECT hll_estimate(hll_union(s, s)) = hll_estimate(s) FROM hu_s").head().getBoolean(0)
+    assert(viaSql, "union with self must be the identity")
+  }
 }
