@@ -322,4 +322,51 @@ class EdgeCasesSpec extends SparkTestBase {
     // global (no groupBy) vec_mean over empty input: one null row
     assert(noVecs.agg(vec_mean(F.col("vec"))).head().isNullAt(0))
   }
+
+  test("continuation-op edges: null text, empty inputs, null sketches") {
+    import spark.implicits._
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val someDocs = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val nullText = Seq((1L, "a b"), (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+
+    // NgramLm: null-text docs contribute no positions (train or score)
+    val lm = graft.ops.NgramLm.selfScore(nullText, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSeq
+    assert(lm === Seq(1L))
+    assert(graft.ops.NgramLm.selfScore(noDocs, "doc_id", "text").count() === 0L)
+
+    // incrementalDedup: null texts group under the null hash — they
+    // dedup against each other and against null-text history rows,
+    // mirroring exactDedup's treatment of identical content
+    val freshOnly = graft.ops.Dedup.incrementalDedup(nullText, noDocs, "doc_id", "text")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(freshOnly === Seq(1L, 2L))
+    assert(graft.ops.Dedup.incrementalDedup(noDocs, someDocs, "doc_id", "text")
+      .count() === 0L)
+
+    // oovReport: empty vocab means everything is OOV, not a crash
+    val allOov = graft.ops.Vocab.oovReport(someDocs, "doc_id", "text",
+      Seq.empty[String].toDF("token"))
+      .orderBy("doc_id").collect()
+    assert(allOov.forall(r => r.getLong(1) === r.getLong(2)))
+
+    // semanticDedup: empty input trains nothing and must fail loudly,
+    // single row keeps itself
+    intercept[Exception] {
+      graft.ops.Dedup.semanticDedup(
+        Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
+        "vec_id", "embedding").collect()
+    }
+    val one = graft.ops.Dedup.semanticDedup(
+      Seq((7L, Array(1f, 0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nlist = 1).collect()
+    assert(one.map(r => (r.getLong(0), r.getBoolean(1))).toSeq === Seq((7L, true)))
+
+    // hll_union: null sketch propagates null (nullIntolerant), never throws
+    import graft.spark.functions.{hll_sketch, hll_union}
+    val sk = someDocs.agg(hll_sketch(F.col("doc_id")).as("s"))
+      .select(hll_union(F.col("s"), F.lit(null).cast("binary")))
+    assert(sk.head().isNullAt(0))
+  }
 }
