@@ -1740,6 +1740,26 @@ object SparkEntry {
         .orderBy("conv_id", "turn_idx")
     }),
 
+    // tool-transition Markov counts: consecutive tool invocations within
+    // each conversation (ordered by turn_idx), counted corpus-wide — the
+    // agent-behavior analytics query a transcript pipeline feeds a
+    // tool-routing model from. Per-conversation lag windows parallelize
+    // across conversations (millions of small partitions at corpus
+    // scale, never a global window); the transition rollup is one
+    // map-side-combined count.
+    "transcript_tool_transitions" -> ((s, dir) => {
+      val t = graft.data.TranscriptFixture.frame(s)
+      val tools = t.filter(F.col("tool").isNotNull)
+        .select(F.col("conv_id"), F.col("turn_idx"), F.col("tool"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("conv_id").orderBy("turn_idx")
+      tools.withColumn("prev_tool", F.lag(F.col("tool"), 1).over(w))
+        .filter(F.col("prev_tool").isNotNull)
+        .groupBy(F.col("prev_tool"), F.col("tool"))
+        .agg(F.count(F.lit(1)).as("cnt"))
+        .orderBy("prev_tool", "tool")
+    }),
+
     // conversation-level exact dedup: canonicalize each conversation to
     // its turn-ordered text (array_sort on (turn_idx, text) structs —
     // the input_hint's "per-turn text equality under stable (conv_id,
@@ -2921,6 +2941,19 @@ object SparkEntry {
         |FROM u ASOF LEFT JOIN tools t
         |  ON u.conv_id = t.conv_id AND u.ts >= t.ts
         |ORDER BY u.conv_id, u.turn_idx""".stripMargin,
+
+    // the same lag-window transition derivation in SQL
+    "transcript_tool_transitions" ->
+      s"""WITH tools AS (
+        |  SELECT conv_id, turn_idx, tool
+        |  FROM ${graft.data.TranscriptFixture.OracleGlob} WHERE tool IS NOT NULL
+        |), tr AS (
+        |  SELECT lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_tool,
+        |    tool FROM tools
+        |)
+        |SELECT prev_tool, tool, count(*) AS cnt FROM tr
+        |WHERE prev_tool IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY prev_tool, tool""".stripMargin,
 
     // canonical conversation text via ordered string_agg; grouping by the
     // FULL text (Spark groups by its murmur64 fingerprint — a collision
