@@ -1380,7 +1380,12 @@ object SparkEntry {
     // (+ tailmarker twins) at every scale factor; the banded regime
     // above stays the scale path.
     "minhash_dups_exact" -> ((s, dir) => {
+      // the >= 3-token guard pins the regime: TextOps.shingles falls
+      // back to the raw token set below shingleSize, which the trigram
+      // oracle SQL deliberately does not model — exclude sub-trigram
+      // docs on BOTH sides so equality is structural, not coincidental
       val docs = read(s, dir, "documents").filter(F.col("doc_id") < 100)
+        .filter(F.size(F.split(F.col("text"), " ")) >= 3)
         .select(F.col("doc_id"), F.col("text"))
       val mutated = docs.select((F.col("doc_id") + 100000).as("doc_id"),
         F.concat(F.col("text"), F.lit(" tailmarker")).as("text"))
@@ -1469,7 +1474,10 @@ object SparkEntry {
     // training DuckDB cannot express; OpsSpec pins the kept-set
     // semantics on hand-built clusters and the exhaustive-regime query
     // below carries the exact oracle.
-    "semantic_dedup" -> ((s, dir) => {
+    // memoized like ivf_topk: semanticDedup runs trainIvf (seed collect
+    // + a Lloyd aggregation job) at PLAN-CONSTRUCTION time, so an
+    // unmemoized re-invocation re-pays training before the query runs
+    "semantic_dedup" -> ((s, dir) => memo("semantic_dedup", s, dir) {
       val embs = read(s, dir, "embeddings")
       val jittered = embs.select((F.col("vec_id") + 100000).as("vec_id"),
         F.transform(F.col("embedding"), x => x * F.lit(1.0001f)).as("embedding"))
@@ -1485,7 +1493,7 @@ object SparkEntry {
     // DuckDB expresses directly — an exact end-to-end oracle for the
     // cluster-join + min-id pruning machinery over a fixed 500-vector
     // slice.
-    "semantic_dedup_exact" -> ((s, dir) => {
+    "semantic_dedup_exact" -> ((s, dir) => memo("semantic_dedup_exact", s, dir) {
       val embs = read(s, dir, "embeddings").filter(F.col("vec_id") < 500)
       val jittered = embs.select((F.col("vec_id") + 100000).as("vec_id"),
         F.transform(F.col("embedding"), x => x * F.lit(1.0001f)).as("embedding"))
@@ -2368,7 +2376,8 @@ object SparkEntry {
     // brute-force all-pairs trigram-shingle Jaccard join over the
     // 100-doc slice + tailmarker twins
     "minhash_dups_exact" ->
-      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |              WHERE doc_id < 100 AND len(string_split(text, ' ')) >= 3),
         |d AS (SELECT doc_id, text FROM base
         |      UNION ALL
         |      SELECT doc_id + 100000 AS doc_id, text || ' tailmarker' AS text FROM base),

@@ -210,7 +210,8 @@ object Dedup {
     val hNew = newDf.select(F.col(idCol), murmur64(F.col(textCol)).as("__h"))
     val winners = hNew.groupBy("__h").agg(F.min(F.col(idCol)).as(idCol))
     val oldH = oldDf.select(murmur64(F.col(textCol)).as("__h"))
-    val fresh = BloomJoin.anti(winners, "__h", oldH, "__h").select(F.col(idCol))
+    val fresh = BloomJoin.anti(winners, "__h", oldH, "__h", bitsPerItem)
+      .select(F.col(idCol))
     newDf.join(fresh, Seq(idCol), "left_semi")
   }
 

@@ -139,7 +139,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("kll_merge", { case Seq(c) => KllMergeAgg(c).toAggregateExpression() })
     register("bloom_might_contain", { case Seq(s, c) => BloomMightContain(s, c) })
     register("hll_estimate", { case Seq(s) => HllEstimate(s) })
-    register("hll_union", { case Seq(a, b) => HllUnion(a, b) })
+    // "graft_" prefix: Spark 4.1 ships a BUILTIN hll_union (Datasketches
+    // binary format) — registering under the same name would silently
+    // shadow it in extension-enabled sessions and then fail on its
+    // sketches. Every graft SQL name must avoid builtin collisions.
+    register("graft_hll_union", { case Seq(a, b) => HllUnion(a, b) })
     register("cms_estimate", { case Seq(s, c) => CmsEstimate(s, c) })
     register("kll_quantile", { case Seq(s, q) => KllQuantile(s, q) })
     register("kll_rank", { case Seq(s, v) => KllRank(s, v) })

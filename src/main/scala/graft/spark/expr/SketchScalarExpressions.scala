@@ -134,10 +134,17 @@ case class HllUnion(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val f = SketchTypeChecks.binaryFirst(prettyName, left.dataType)
-    if (f.isFailure) f else SketchTypeChecks.binaryFirst(prettyName, right.dataType)
+    if (f.isFailure) f
+    else right.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a binary sketch as second argument, got ${other.catalogString}")
+    }
   }
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
+  // SQL name is graft_hll_union (Spark 4.1's builtin hll_union owns
+  // this prettyName's natural spelling in the registry)
   override def prettyName: String = "hll_union"
 
   def union(a: Array[Byte], b: Array[Byte]): Array[Byte] =

@@ -336,12 +336,18 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(lm === Seq(1L))
     assert(graft.ops.NgramLm.selfScore(noDocs, "doc_id", "text").count() === 0L)
 
-    // incrementalDedup: null texts group under the null hash — they
-    // dedup against each other and against null-text history rows,
-    // mirroring exactDedup's treatment of identical content
+    // incrementalDedup: null texts group under the null hash WITHIN the
+    // batch (one winner), but the history anti join uses SQL equality
+    // where null never matches null — so a null-text winner always
+    // survives, even when history also has null-text rows. In-batch
+    // collapse yes, cross-corpus null matching no.
     val freshOnly = graft.ops.Dedup.incrementalDedup(nullText, noDocs, "doc_id", "text")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(freshOnly === Seq(1L, 2L))
+    val nullHistory = Seq((90L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val vsNullHist = graft.ops.Dedup.incrementalDedup(nullText, nullHistory, "doc_id", "text")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(vsNullHist === Seq(1L, 2L), "null-text winner survives a null-text history")
     assert(graft.ops.Dedup.incrementalDedup(noDocs, someDocs, "doc_id", "text")
       .count() === 0L)
 

@@ -433,10 +433,13 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(math.abs(row.getAs[Long]("ea") - 6000L) <= 300, s"est_a=${row.getAs[Long]("ea")}")
     assert(math.abs(row.getAs[Long]("eb") - 6000L) <= 300)
     assert(math.abs(row.getAs[Long]("ei") - 2000L) <= 600, s"est_i=${row.getAs[Long]("ei")}")
-    // SQL surface
+    // SQL surface — registered as graft_hll_union (Spark 4.1 has a
+    // BUILTIN hll_union over Datasketches binaries that must not be
+    // shadowed)
     ids.select(hll_sketch(F.col("id"), 12).as("s")).createOrReplaceTempView("hu_s")
     val viaSql = spark.sql(
-      "SELECT hll_estimate(hll_union(s, s)) = hll_estimate(s) FROM hu_s").head().getBoolean(0)
+      "SELECT hll_estimate(graft_hll_union(s, s)) = hll_estimate(s) FROM hu_s")
+      .head().getBoolean(0)
     assert(viaSql, "union with self must be the identity")
   }
 }
