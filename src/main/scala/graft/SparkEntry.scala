@@ -2357,7 +2357,7 @@ object SparkEntry {
     // brute-force all-pairs trigram Jaccard — the prefix-filtered engine
     // output must EQUAL this by the prefix-filtering completeness lemma
     "ngram_jaccard_dups" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') ws FROM documents),
         |idx AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 1, 1))) AS i FROM w),
         |tg AS (SELECT doc_id, list_element(ws, CAST(i AS INT)) || ' ' ||
         |              list_element(ws, CAST(i AS INT) + 1) || ' ' ||
@@ -2381,7 +2381,7 @@ object SparkEntry {
         |d AS (SELECT doc_id, text FROM base
         |      UNION ALL
         |      SELECT doc_id + 100000 AS doc_id, text || ' tailmarker' AS text FROM base),
-        |w AS (SELECT doc_id, string_split(text, ' ') ws FROM d),
+        |w AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') ws FROM d),
         |idx AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 1, 1))) AS i FROM w),
         |tg AS (SELECT doc_id, list_element(ws, CAST(i AS INT)) || ' ' ||
         |              list_element(ws, CAST(i AS INT) + 1) || ' ' ||
@@ -2400,7 +2400,7 @@ object SparkEntry {
     // t=0.5; component = min reachable doc_id
     "dedup_clusters" ->
       """WITH RECURSIVE
-        |w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        |w AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') ws FROM documents),
         |idx AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 1, 1))) AS i FROM w),
         |tg AS (SELECT doc_id, list_element(ws, CAST(i AS INT)) || ' ' ||
         |              list_element(ws, CAST(i AS INT) + 1) || ' ' ||
@@ -3209,7 +3209,9 @@ object SparkEntry {
         |  string_agg('<|' || role ||
         |      CASE WHEN tool IS NOT NULL THEN ':' || tool ELSE '' END ||
         |      '|> ' || text, chr(10) ORDER BY turn_idx) AS sample_text,
-        |  count(*) AS n_turns
+        |  count('<|' || role ||
+        |      CASE WHEN tool IS NOT NULL THEN ':' || tool ELSE '' END ||
+        |      '|> ' || text) AS n_turns
         |FROM ${graft.data.TranscriptFixture.OracleGlob}
         |GROUP BY conv_id ORDER BY conv_id""".stripMargin,
 

@@ -33,7 +33,11 @@ object Conversations {
   /** Render each conversation into ONE training sample: turns in stable
     * `orderCol` order (the input contract's "(conv_id, turn_idx)
     * ordering" invariant), each formatted by `line`, joined with `sep`.
-    * Output: (convCol, sample_text, n_turns).
+    * Output: (convCol, sample_text, n_turns). `n_turns` counts RENDERED
+    * lines: array_join drops null elements, so a turn whose `line`
+    * evaluates to null (e.g. null text) is absent from sample_text and
+    * must not be counted — a consumer splitting sample_text by `sep`
+    * sees exactly n_turns pieces.
     *
     * Shape: a single groupBy(conv) — collect_list gathers the partition
     * locally, array_sort orders it (collect_list order is
@@ -52,7 +56,7 @@ object Conversations {
               F.struct(F.col(orderCol).as("__o"), line.as("__line")))),
             x => x.getField("__line")),
           sep).as("sample_text"),
-        F.count(F.lit(1)).as("n_turns"))
+        F.sum(F.when(line.isNotNull, 1L).otherwise(0L)).as("n_turns"))
 
   /** Keep, per conversation, the longest SUFFIX of turns whose summed
     * `nTokens` fits `budget` — the "truncate history to the context

@@ -124,13 +124,24 @@ object Dedup {
         murmur64(F.col("__g")).as("__h"), F.col("__g"))
       else grams.select(F.col("__id"), F.col("__p"),
         murmur64(F.col("__g")).as("__h"))
-    val dupKeys =
-      (if (verifyByText) hashed.groupBy(F.col("__h"), F.col("__g"))
-       else hashed.groupBy(F.col("__h")))
-        .agg(F.count(F.lit(1)).as("__c"))
-        .filter(F.col("__c") >= 2).select("__h")
-    val dupPos = hashed.join(dupKeys, Seq("__h"), "left_semi")
-      .select(F.col("__id"), F.col("__p"))
+    // verify mode must carry the gram TEXT through the semi-join too:
+    // counting per (__h, __g) but then joining on __h alone would mark
+    // a hash-colliding non-duplicated gram as duplicated — the exact
+    // failure verifyByText exists to rule out
+    val dupPos =
+      if (verifyByText) {
+        val dupKeys = hashed.groupBy(F.col("__h"), F.col("__g"))
+          .agg(F.count(F.lit(1)).as("__c"))
+          .filter(F.col("__c") >= 2).select("__h", "__g")
+        hashed.join(dupKeys, Seq("__h", "__g"), "left_semi")
+          .select(F.col("__id"), F.col("__p"))
+      } else {
+        val dupKeys = hashed.groupBy(F.col("__h"))
+          .agg(F.count(F.lit(1)).as("__c"))
+          .filter(F.col("__c") >= 2).select("__h")
+        hashed.join(dupKeys, Seq("__h"), "left_semi")
+          .select(F.col("__id"), F.col("__p"))
+      }
     // gaps-and-islands: consecutive duplicated positions share
     // (p - row_number), so maximal runs fall out of one group-by
     val grp = F.col("__p") - F.row_number().over(
@@ -354,9 +365,13 @@ object Dedup {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     // materialize the token array as a COLUMN before shingling —
     // element_at over a raw split(...) expression would re-split the text
-    // for every lambda element (O(len^2) per document per consumer)
+    // for every lambda element (O(len^2) per document per consumer).
+    // Library-standard tokenization (Decontaminate.tokens: split on
+    // single space, DROP empties) — a bare split would build
+    // empty-token shingles on multi-space text and disagree with
+    // jaccard_shingles / minhashLshPairs on the same pair
     val words = df.select(F.col(idCol).as("__id"),
-      F.split(F.col(textCol), " ").as("__ws"))
+      Decontaminate.tokens(F.col(textCol)).as("__ws"))
     // distinct word n-grams per document; single-space tokenization keeps
     // the contract reproducible in plain SQL for oracle checking
     val shingles = F.array_distinct(

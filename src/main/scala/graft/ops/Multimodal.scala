@@ -473,9 +473,13 @@ object Multimodal {
             case (k, f) => Frame(a.asset_id, f, k * everyMs, frames(f).pixels_fingerprint)
           }
         case None =>
-          // STUB fallback: no installed codec for these bytes
+          // STUB fallback: no installed codec for these bytes. Sample
+          // count mirrors the real path's schedule semantics (one sample
+          // per k*everyMs instant STRICTLY inside the duration — ceil,
+          // not floor), so stub and decoded assets are counted uniformly
           val contentFp = Murmur2Kernel.hash64(a.content)
-          val n = math.max(1, a.duration_ms / everyMs)
+          val n = math.max(1L,
+            (a.duration_ms.toLong + everyMs - 1) / everyMs).toInt
           (0 until n).iterator.map { f =>
             val ts = f * everyMs
             Frame(a.asset_id, f, ts,

@@ -81,9 +81,13 @@ object Sampling {
       "fractions must sum to 1")
     val bounds = fractions.scanLeft(0.0)(_ + _._2).tail
       .map(c => math.floor(c * 4294967296.0).toLong)
+    // fold into the unsigned 32-bit ring first — the same signed-hash
+    // trap weightedSample/mixtureSample guard: a raw signed hash would
+    // send every negative value (~half the rows) into the first label
+    val u = F.pmod(hashCol.cast("long"), F.lit(4294967296L))
     val split = fractions.zip(bounds).init.foldRight(
       F.lit(fractions.last._1): Column) { case (((label, _), bound), rest) =>
-      F.when(hashCol < bound, F.lit(label)).otherwise(rest)
+      F.when(u < bound, F.lit(label)).otherwise(rest)
     }
     df.withColumn("split", split)
   }

@@ -86,7 +86,13 @@ object Sequencing {
     */
   def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
       bucket: Column, cumCol: String = "cum"): DataFrame = {
-    val withB = df.withColumn("__b", bucket)
+    // a null bucket would be silently CORRUPTING, not just dropped: the
+    // null group sorts first in the offset window (inflating every real
+    // bucket's offset) while its own rows vanish at the inner join —
+    // fail loudly at the first null instead
+    val withB = df.withColumn("__b",
+      F.when(bucket.isNotNull, bucket).otherwise(F.raise_error(F.lit(
+        "prefixSum: bucket expression evaluated to NULL — null order keys corrupt cumulative offsets"))))
     val local = F.sum(F.col(valueCol)).over(
       Window.partitionBy(F.col("__b")).orderBy(F.col(orderCol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -119,7 +125,11 @@ object Sequencing {
       subBucket: Column, rankCol: String = "rank"): DataFrame = {
     require(groupCols.nonEmpty, "groupedRank needs group columns")
     val g = groupCols.map(F.col)
-    val withB = df.withColumn("__sb", subBucket)
+    // same null-bucket guard as prefixSum: a null sub-bucket shifts
+    // every later bucket's offset and then drops its rows at the join
+    val withB = df.withColumn("__sb",
+      F.when(subBucket.isNotNull, subBucket).otherwise(F.raise_error(F.lit(
+        "groupedRank: subBucket expression evaluated to NULL — null order keys corrupt rank offsets"))))
     val local = F.row_number().over(
       Window.partitionBy((g :+ F.col("__sb")): _*).orderBy(F.col(orderCol)))
     val counts = withB.groupBy((g :+ F.col("__sb")): _*)

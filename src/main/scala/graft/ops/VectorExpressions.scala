@@ -115,14 +115,21 @@ case class IvfCellsExpr(child: Expression, centroids: Array[Array[Double]],
   def cells(arr: ArrayData): ArrayData = {
     val dims = arr.numElements()
     val n = centroids.length
+    // a quantizer must not silently truncate: a mis-assigned cell
+    // poisons every downstream recall/rerank with no visible error
+    // (the PqEncodeExpr rule), and an over-long vector would later
+    // crash trainIvf's driver-side mean fill on an opaque index
+    if (dims != centroids(0).length) {
+      throw new IllegalArgumentException(
+        s"ivf_cells: vector has $dims dims, centroids expect ${centroids(0).length}")
+    }
     val dots = new Array[Double](n)
     var c = 0
     while (c < n) {
       val row = centroids(c)
-      val lim = math.min(dims, row.length)
       var dot = 0.0
       var d = 0
-      while (d < lim) {
+      while (d < dims) {
         if (!arr.isNullAt(d)) {
           dot += row(d) * (if (isFloat) arr.getFloat(d) else arr.getDouble(d))
         }
@@ -496,6 +503,12 @@ case class PqAdcScoreExpr(left: Expression, right: Expression,
     var acc = 0.0
     var b = 0
     while (b < m) {
+      // a null slot would read as code 0 and score silently — the exact
+      // corrupt-codes case the class contract promises to fail on
+      if (codes.isNullAt(b)) {
+        throw new IllegalArgumentException(
+          s"pq_adc_score: null code at block $b")
+      }
       val code = codes.getInt(b)
       if (code < 0 || code >= codebooks(b).length) {
         throw new IllegalArgumentException(

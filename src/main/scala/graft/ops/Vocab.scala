@@ -106,25 +106,58 @@ object Vocab {
       .limit(maxDistinctWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     // words as mutable symbol sequences, weighted by frequency
-    val words: Array[(Array[String], Long)] = wordFreq.map { case (w, c) =>
-      (w.map(_.toString).toArray :+ "</w>", c)
+    val syms: Array[Array[String]] = wordFreq.map { case (w, _) =>
+      w.map(_.toString).toArray :+ "</w>"
     }
+    val weight: Array[Long] = wordFreq.map(_._2)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    var syms = words
+
+    // INCREMENTAL pair accounting (the standard Sennrich trainer): a
+    // merge only changes words that CONTAIN the merged pair, so the
+    // global pair counts and a pair -> word-ids index are adjusted for
+    // that subset only. A full recount per merge would cost
+    // O(numMerges x total symbols) — intractable at a 32k-merge
+    // vocabulary over a 10M-word table; this loop costs O(affected
+    // words + distinct-pairs argmax scan) per merge and produces
+    // byte-identical merges (counts after each step equal the full
+    // recount, so the deterministic (-count, left, right) argmax picks
+    // the same pair). Index sets may go stale for pairs a fusion
+    // removed from a word — harmless: the count delta is exact, and a
+    // stale member just wastes one no-op re-fuse when its pair wins.
+    val counts = scala.collection.mutable.Map[(String, String), Long]()
+    val index = scala.collection.mutable.Map[(String, String),
+      scala.collection.mutable.Set[Int]]()
+    def bump(s: Array[String], delta: Long, wi: Int, addToIndex: Boolean): Unit = {
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        val n = counts.getOrElse(p, 0L) + delta
+        if (n == 0L) counts.remove(p) else counts(p) = n
+        if (addToIndex) {
+          index.getOrElseUpdate(p, scala.collection.mutable.Set[Int]()) += wi
+        }
+        i += 1
+      }
+    }
+    var wi0 = 0
+    while (wi0 < syms.length) { bump(syms(wi0), weight(wi0), wi0, addToIndex = true); wi0 += 1 }
+
     var rank = 1
     var done = false
     while (rank <= numMerges && !done) {
-      val counts = scala.collection.mutable.Map[(String, String), Long]()
-      for ((s, c) <- syms; i <- 0 until s.length - 1)
-        counts.updateWith((s(i), s(i + 1)))(v => Some(v.getOrElse(0L) + c))
       if (counts.isEmpty) done = true
       else {
         val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
         merges += ((rank, l, r, c))
         val fused = l + r
-        syms = syms.map { case (s, wc) =>
-          if (s.length < 2) (s, wc)
-          else {
+        val affected = index.getOrElse((l, r),
+          scala.collection.mutable.Set.empty[Int]).toArray
+        var ai = 0
+        while (ai < affected.length) {
+          val wi = affected(ai)
+          val s = syms(wi)
+          if (s.length >= 2) {
+            bump(s, -weight(wi), wi, addToIndex = false)
             val out = scala.collection.mutable.ArrayBuffer[String]()
             var i = 0
             while (i < s.length) {
@@ -132,9 +165,12 @@ object Vocab {
                 out += fused; i += 2
               } else { out += s(i); i += 1 }
             }
-            (out.toArray, wc)
+            syms(wi) = out.toArray
+            bump(syms(wi), weight(wi), wi, addToIndex = true)
           }
+          ai += 1
         }
+        index.remove((l, r))
         rank += 1
       }
     }

@@ -85,7 +85,9 @@ class MultimodalSpec extends SparkTestBase {
   test("frame sampling explodes one row per sampled frame, bounded by duration") {
     val frames = Multimodal.sampleFrames(assets, everyMs = 1000).cache()
     val videos = assets.filter(_.kind == "video").collect()
-    val expected = videos.map(v => math.max(1, v.duration_ms / 1000)).sum
+    // ceil semantics, matching the real decode path's schedule (one
+    // sample per k*everyMs strictly inside the duration)
+    val expected = videos.map(v => math.max(1L, (v.duration_ms + 999L) / 1000)).sum
     assert(frames.count() === expected)
     // per-asset frame indices are dense from 0
     val bad = frames.groupByKey(_.asset_id).mapGroups { (_, it) =>
