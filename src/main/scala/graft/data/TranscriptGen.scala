@@ -142,13 +142,43 @@ object TranscriptTable {
   def partIdCol(nParts: Int): org.apache.spark.sql.Column =
     F.pmod(graft.spark.functions.murmur64(F.col("conv_id")), F.lit(nParts.toLong)).cast("int")
 
-  def write(turns: Dataset[Turn], path: String, nParts: Int): Unit =
+  def write(turns: Dataset[Turn], path: String, nParts: Int): Unit = {
     turns.withColumn(PartCol, partIdCol(nParts))
       .repartition(F.col(PartCol))
       .sortWithinPartitions("conv_id", "turn_idx")
       .write.mode("overwrite")
       .partitionBy(PartCol)
       .parquet(path)
+    // record the WRITER's routing modulus alongside the data: consumers
+    // (SketchBuildJob's bank config, probeBank's part routing) must use
+    // exactly this nParts — inferring max(part_id)+1 from observed data
+    // undercounts whenever the highest hash range happens to be empty,
+    // which silently misroutes every probe of the resulting bank
+    val conf = turns.sparkSession.sparkContext.hadoopConfiguration
+    val metaPath = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = metaPath.getFileSystem(conf)
+    val out = fs.create(metaPath, true)
+    try out.write(s"""{"n_parts":$nParts}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private val MetaFile = "_graft_meta.json"
+
+  /** The routing modulus recorded by [[write]]; None for tables written
+    * by other tools (callers fall back to data inference, loudly). */
+  def readNParts(spark: SparkSession, path: String): Option[Int] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val metaPath = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = metaPath.getFileSystem(conf)
+    if (!fs.exists(metaPath)) None
+    else {
+      val in = fs.open(metaPath)
+      val body =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      "\"n_parts\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(body).map(_.group(1).toInt)
+    }
+  }
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -82,22 +82,7 @@ object ProfileJob {
         // yields NaN quantiles, which are not valid JSON
         quantiles = kll.filter(_.n > 0).map(sk =>
           Quantiles.map { case (n, q) => n -> sk.quantile(q) }.toMap),
-        histogram = kll.filter(_.n > 0).map { sk =>
-          val lo = sk.quantile(0.0)
-          val hi = sk.quantile(1.0)
-          if (lo == hi) Seq((lo, hi, sk.n))
-          else {
-            val width = (hi - lo) / histBins
-            var prev = 0L
-            (1 to histBins).map { b =>
-              val binHi = if (b == histBins) hi else lo + width * b
-              val r = if (b == histBins) sk.n else sk.rank(binHi)
-              val out = (lo + width * (b - 1), binHi, math.max(0L, r - prev))
-              prev = math.max(prev, r)
-              out
-            }
-          }
-        },
+        histogram = kll.filter(_.n > 0).map(_.histogram(histBins)),
         topValues = hh.map(_.topK(10).map { case (v, cnt, _) => (v, cnt) }))
     }
     TableProfile(rows, cols.toSeq)

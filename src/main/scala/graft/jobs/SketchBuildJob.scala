@@ -136,10 +136,26 @@ object SketchBuildJob {
 
     val allParts = df.select(TranscriptTable.PartCol).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
-    // record the routing modulus once (max part id + 1 of the full table)
+    require(allParts.nonEmpty,
+      s"SketchBuildJob: input table at ${c.input} has no rows — nothing to build")
+    // record the routing modulus once — the WRITER's modulus from the
+    // table's own metadata. Inferring max(part_id)+1 from observed data
+    // is WRONG whenever the highest hash range is empty (probeBank would
+    // route with modulus N-1 against a bank built at N: false negatives
+    // from a structure that promises none); the data-derived fallback
+    // exists only for foreign tables and warns.
+    val nParts = TranscriptTable.readNParts(spark, c.input).getOrElse {
+      val inferred = allParts.max + 1
+      // scalastyle:off println
+      System.err.println(
+        s"WARN SketchBuildJob: no _graft_meta.json at ${c.input}; " +
+          s"inferring n_parts=$inferred from data — misroutes probes if the top hash range is empty")
+      // scalastyle:on println
+      inferred
+    }
     val cfgFile = new HPath(manifestDir(c.out), "config.json")
     if (!mfs.exists(cfgFile)) {
-      val cfgJson = "{" + "\"n_parts\":" + (allParts.max + 1) +
+      val cfgJson = "{" + "\"n_parts\":" + nParts +
         ",\"schema_version\":" + PartSchemaVersion +
         ",\"input\":" + ProfileJob.jsonStr(c.input) + "}"
       writeUtf8(mfs, cfgFile, cfgJson)

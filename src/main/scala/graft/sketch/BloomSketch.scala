@@ -122,13 +122,19 @@ final class BloomSketch private (
     true
   }
 
-  /** In-place OR-merge; throws on incompatible config like the reference. */
+  /** In-place OR-merge; throws on incompatible config like the reference.
+    * Deliberately STRICTER than the reference's (k, maxSize, hashName)
+    * check (`BloomFilter.java:199-202`): k = ceil(0.7*bpi) collides for
+    * bpi 9 vs 10, and merging those ORs mismatched bit-set geometries —
+    * an accidental corruption path in the reference, not a contract
+    * (SURVEY §4: accidental behaviors are not replicated). */
   def merge(other: BloomSketch): BloomSketch = {
     require(
       k == other.k && maxSize == other.maxSize &&
+        bitsPerItem == other.bitsPerItem &&
         kernel.name == other.kernel.name && longHash == other.longHash,
-      s"Incompatible Bloom sketches: ($k,$maxSize,${kernel.name},$longHash)" +
-        s" vs (${other.k},${other.maxSize},${other.kernel.name},${other.longHash})")
+      s"Incompatible Bloom sketches: ($k,$maxSize,$bitsPerItem,${kernel.name},$longHash)" +
+        s" vs (${other.k},${other.maxSize},${other.bitsPerItem},${other.kernel.name},${other.longHash})")
     var i = 0
     while (i < words.length) { words(i) |= other.words(i); i += 1 }
     this

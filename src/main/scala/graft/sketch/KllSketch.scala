@@ -116,7 +116,12 @@ final class KllSketch private (
       h += 1
     }
     nTotal += other.nTotal
-    rngState ^= other.rngState | 1L
+    // parenthesization matters: `a ^= b | 1` zeroes the state whenever
+    // both sides carry the same (deterministic, odd) fresh seed — the
+    // COMMON case of merging two never-compacted partials — and
+    // xorshift64* is a fixed point at 0, killing the random offset the
+    // rank-error bound assumes. Mix first, then force non-zero.
+    rngState = (rngState ^ other.rngState) | 1L
     refreshCounts()
     compress()
     this
@@ -153,6 +158,30 @@ final class KllSketch private (
       h += 1
     }
     math.round(r)
+  }
+
+  /** Equal-width histogram over [min, max] from the O(k) summary alone:
+    * `nBins` (lo, hi, cnt) triples whose counts partition n exactly
+    * (rank differences, clamped monotone); a single-valued summary
+    * collapses to one bin; empty summary yields no bins. Each count is
+    * within the sketch's eps*n rank error of the true bin count. The
+    * ONE implementation behind both the `kll_histogram` SQL expression
+    * and ProfileJob — two copies of this arithmetic drifted once. */
+  def histogram(nBins: Int): Seq[(Double, Double, Long)] = {
+    require(nBins >= 1, s"histogram requires nBins >= 1, got $nBins")
+    if (nTotal == 0L) return Seq.empty
+    val lo = quantile(0.0)
+    val hi = quantile(1.0)
+    if (lo == hi) return Seq((lo, hi, nTotal))
+    val width = (hi - lo) / nBins
+    var prev = 0L
+    (1 to nBins).map { b =>
+      val binHi = if (b == nBins) hi else lo + width * b
+      val r = if (b == nBins) nTotal else rank(binHi)
+      val out = (lo + width * (b - 1), binHi, math.max(0L, r - prev))
+      prev = math.max(prev, r)
+      out
+    }
   }
 
   private def weightedItems(): Array[(Double, Long)] = {

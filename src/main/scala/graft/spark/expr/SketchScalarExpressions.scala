@@ -487,24 +487,12 @@ case class KllHistogram(left: Expression, right: Expression)
   @transient private lazy val cache = new SketchCache(KllSketch.deserialize)
 
   def histogram(sketchBytes: Array[Byte], nBins: Int): GenericArrayData = {
-    require(nBins >= 1, s"$prettyName requires nBins >= 1, got $nBins")
-    val sk = cache.get(sketchBytes)
-    if (sk.n == 0L) return new GenericArrayData(Array.empty[Any])
-    val lo = sk.quantile(0.0)
-    val hi = sk.quantile(1.0)
-    if (lo == hi) {
-      return new GenericArrayData(Array[Any](InternalRow(lo, hi, sk.n)))
-    }
-    val width = (hi - lo) / nBins
-    var prevRank = 0L
-    val rows = (1 to nBins).map { b =>
-      val binHi = if (b == nBins) hi else lo + width * b
-      val r = if (b == nBins) sk.n else sk.rank(binHi)
-      val row = InternalRow(lo + width * (b - 1), binHi, math.max(0L, r - prevRank))
-      prevRank = math.max(prevRank, r)
-      row
-    }
-    new GenericArrayData(rows.toArray[Any])
+    // binning lives on KllSketch.histogram — one implementation shared
+    // with ProfileJob; this wrapper only adapts to InternalRow
+    val bins = cache.get(sketchBytes).histogram(nBins)
+    new GenericArrayData(bins.map { case (lo, hi, cnt) =>
+      InternalRow(lo, hi, cnt)
+    }.toArray[Any])
   }
 
   override protected def nullSafeEval(sketch: Any, nBins: Any): Any =
