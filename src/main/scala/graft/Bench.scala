@@ -32,9 +32,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // a failed query must be VISIBLE in the record: swallowing the error
+    // and reporting time-to-exception would make a broken build post a
+    // better-looking total than a working one
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    def time(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -49,21 +58,29 @@ object Bench {
       .filter { case (n, _) => filter.forall(_.contains(n)) }
     val calibration = scala.collection.mutable.ArrayBuffer[Double]()
     def pass(): Seq[(String, Double)] = names.zipWithIndex.map { case ((name, fn), i) =>
-      if (i % CalEvery == 0) calibration += time(SparkEntry.queries("q1_agg"))
-      name -> time(fn)
+      if (i % CalEvery == 0) calibration += time("q1_agg", SparkEntry.queries("q1_agg"))
+      name -> time(name, fn)
     }
     val p1 = pass().toMap
     val p2 = pass().toMap
-    calibration += time(SparkEntry.queries("q1_agg"))
+    calibration += time("q1_agg", SparkEntry.queries("q1_agg"))
 
+    // Locale.ROOT: a comma-decimal default locale would render 1,234 and
+    // break the driver's json.load (the same failure mode Verify's JSON
+    // escaper documents)
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val results = names.map { case (name, _) => name -> math.min(p1(name), p2(name)) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val cal = calibration.map(v => f"$v%.3f").mkString("[", ",", "]")
+    val cal = calibration.map(fmt).mkString("[", ",", "]")
+    val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // scalastyle:off println
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calibration":$cal,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calibration":$cal,"failed":$fails,"sf":"$sfDir"}""")
     // scalastyle:on println
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.mkString(", ")}")
+    }
     spark.stop()
   }
 }

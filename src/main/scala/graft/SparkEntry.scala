@@ -31,34 +31,53 @@ object SparkEntry {
     * action belong here — memoizing a query that materializes its result
     * at build time (a streaming memory sink, checkpointed iteration
     * output) would make every re-invocation a free table scan and fake
-    * its bench number. The outer map is WEAK on the session, so stopped
-    * sessions and their plans become collectable. */
+    * its bench number.
+    *
+    * Reachability: the session key is WEAK, but a cached DataFrame
+    * strongly references its own SparkSession, so plain values would pin
+    * their keys forever (the classic WeakHashMap self-reference trap).
+    * Values are therefore held through SoftReferences — the key is then
+    * reachable only softly through the cache, stopped sessions' entries
+    * clear under memory pressure, and a cleared value simply rebuilds. */
   private val queryMemo = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[
+      (String, String), java.lang.ref.SoftReference[DataFrame]]]())
 
   private def memo(name: String, s: SparkSession, dir: String)(
       build: => DataFrame): DataFrame = {
     val perSession = queryMemo.synchronized {
       var m = queryMemo.get(s)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String),
+          java.lang.ref.SoftReference[DataFrame]]()
         queryMemo.put(s, m)
       }
       m
     }
-    perSession.computeIfAbsent((name, dir), _ => build)
+    val key = (name, dir)
+    val cached = Option(perSession.get(key)).flatMap(r => Option(r.get))
+    cached.getOrElse {
+      val df = build
+      perSession.put(key, new java.lang.ref.SoftReference(df))
+      df
+    }
   }
 
-  /** Temp staging dir removed RECURSIVELY on JVM exit — File.deleteOnExit
-    * silently leaves non-empty directories (Spark writes part files into
-    * them after registration), so queries that stage real files use this. */
-  private def stagingDir(prefix: String): java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
+  /** Temp staging dirs removed RECURSIVELY on JVM exit —
+    * File.deleteOnExit silently leaves non-empty directories (Spark
+    * writes part files into them after registration). ONE root with ONE
+    * shutdown hook: a hook-per-call would accumulate a live Thread and a
+    * staged input copy per query invocation for the JVM's lifetime
+    * (hundreds under a repeated-invocation harness). */
+  private lazy val stagingRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft_staging")
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      graft.data.LocalFs.deleteRecursively(p.toFile)))
-    p
+      graft.data.LocalFs.deleteRecursively(root.toFile)))
+    root
   }
+
+  private def stagingDir(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(stagingRoot, prefix)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Sketch-aggregate rollup over lineitem: per (returnflag, linestatus)
@@ -1121,20 +1140,23 @@ object SparkEntry {
       val name = s"sdc_out_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val saved = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q =
-        try {
-          graft.ops.StreamingDedup.firstSeenCompacted(
-              stream.select(F.col("doc_id"), F.col("text")),
-              "doc_id", "text", bank, nParts = 8)
-            .writeStream
-            .outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-        } finally s.conf.set("spark.sql.shuffle.partitions", saved)
-      q.awaitTermination()
-      bank.unpersist(blocking = false)
+      // unpersist in finally: a failed start/run must not strand the
+      // persisted bank in executor storage for the session's lifetime
+      try {
+        val q =
+          try {
+            graft.ops.StreamingDedup.firstSeenCompacted(
+                stream.select(F.col("doc_id"), F.col("text")),
+                "doc_id", "text", bank, nParts = 8)
+              .writeStream
+              .outputMode("append")
+              .format("memory")
+              .queryName(name)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+          } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+        q.awaitTermination()
+      } finally bank.unpersist(blocking = false)
       s.table(name).select(F.col("doc_id"), F.col("text")).orderBy("doc_id")
     }),
 

@@ -10,9 +10,16 @@ import graft.core.hash.HashKernels
   * cwow 19.8, fnv1a 12.8 on this machine). */
 object HashPerf {
   def main(args: Array[String]): Unit = {
+    // 83 bytes — the REFERENCE harness's input length
+    // (`TestLongHashPerf.java`'s TEST_DATA is 83 UTF-8 bytes), so the
+    // 64-bit kernels take the same block/tail path (83 % 8 = 3 tail
+    // bytes) and M-hashes/s compares like for like. The earlier 85-byte
+    // input exercised a different tail; same-day A/B ratios were
+    // unaffected (both sides hashed the same bytes) but the absolute
+    // "83-byte" label was wrong.
     val input = ByteOps.utf8(
-      "the quick brown fox jumps over the lazy dog while two cats watch from the window sill")
-    require(input.length == 85, s"len=${input.length}")
+      "the quick brown fox jumps over the lazy dog while two old cats watch from the barns")
+    require(input.length == 83, s"len=${input.length}")
     val n = 15000000
     val rounds = args.headOption.map(_.toInt).getOrElse(3)
     val kernels = HashKernels.all.filterNot(_.name == "sha1prng")

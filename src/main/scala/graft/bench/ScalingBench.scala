@@ -26,6 +26,11 @@ import graft.spark.functions._
   */
 object ScalingBench {
 
+  /** Locale-independent numeric formatting for JSON/report output —
+    * comma-decimal default locales would emit invalid JSON. */
+  private def jfmt(v: Double, p: String): String =
+    String.format(java.util.Locale.ROOT, p, Double.box(v))
+
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
@@ -79,6 +84,12 @@ object ScalingBench {
             TranscriptGen.generate(gen, 42L, nConvs, hotTurns = 20000, minTurns = 4),
             corpus, nParts = 128)
           finally gen.stop()
+        } else {
+          // a silent skip would let levels measure an OLD corpus while
+          // the operator believes --convs applied — mislabeled evidence
+          System.err.println(
+            s"[scaling] corpus at $corpus already exists — REUSING it; " +
+              s"--convs $nConvs NOT applied (delete the directory to regenerate)")
         }
 
       case Some("level") =>
@@ -91,17 +102,20 @@ object ScalingBench {
           // median of 5 timed rounds
           (1 to 3).foreach(_ => sketchPipeline(spark, corpus))
           val nRounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "5").toInt
+          // every round returns the row count — capture it from the
+          // timed rounds instead of paying a whole extra pipeline run
+          var rows = 0L
           val rawTimes = (1 to nRounds).map { _ =>
             val t0 = System.nanoTime()
-            sketchPipeline(spark, corpus)
+            rows = sketchPipeline(spark, corpus)
             (System.nanoTime() - t0) / 1e9
           }
-          System.err.println("round order: " + rawTimes.map(t => f"$t%.2f").mkString(", "))
+          System.err.println(
+            "round order: " + rawTimes.map(t => jfmt(t, "%.2f")).mkString(", "))
           val times = rawTimes.sorted
-          val rows = sketchPipeline(spark, corpus)
           val median = times(times.length / 2)
           val line =
-            s"""{"cores":$cores,"rows":$rows,"sec":${f"$median%.3f"},"rows_per_sec":${f"${rows / median}%.0f"},"rounds":[${times.map(t => f"$t%.2f").mkString(",")}]}"""
+            s"""{"cores":$cores,"rows":$rows,"sec":${jfmt(median, "%.3f")},"rows_per_sec":${jfmt(rows / median, "%.0f")},"rounds":[${times.map(t => jfmt(t, "%.2f")).mkString(",")}]}"""
           Files.write(Paths.get(outJson), (line + "\n").getBytes("UTF-8"),
             StandardOpenOption.CREATE, StandardOpenOption.APPEND)
           // scalastyle:off println
@@ -127,7 +141,7 @@ object ScalingBench {
           }.sorted
           val median = times(times.length / 2)
           val line =
-            s"""{"metric":"profile_wall","cores":$cores,"rows":$rows,"sec":${f"$median%.3f"},"rows_per_sec":${f"${rows / median}%.0f"}}"""
+            s"""{"metric":"profile_wall","cores":$cores,"rows":$rows,"sec":${jfmt(median, "%.3f")},"rows_per_sec":${jfmt(rows / median, "%.0f")}}"""
           // scalastyle:off println
           println(line)
           // scalastyle:on println
@@ -137,8 +151,8 @@ object ScalingBench {
                |
                |`ProfileJob.profile` (per-column null counts + HLL/KLL/SpaceSaving
                |sketches for all 7 transcript columns) over the same corpus, one
-               |single-pass aggregation job at local[$cores]: **${f"$median%.2f"} s**
-               |(median of 3, ${f"${rows / median}%.0f"} turns/s over $rows rows).
+               |single-pass aggregation job at local[$cores]: **${jfmt(median, "%.2f")} s**
+               |(median of 3, ${jfmt(rows / median, "%.0f")} turns/s over $rows rows).
                |""".stripMargin
           Files.write(Paths.get(argMap.getOrElse("--report", "BENCH.md")),
             md.getBytes("UTF-8"),
@@ -159,7 +173,7 @@ object ScalingBench {
         val big = byCores(byCores.keys.max)
         val efficiency = (big._4 / small._4) / (big._1.toDouble / small._1)
         val json =
-          s"""{"metric":"scaling_efficiency","value":${f"$efficiency%.3f"},"unit":"ratio","n_rows":${big._2},"levels":[{"cores":${small._1},"sec":${small._3},"rows_per_sec":${small._4}},{"cores":${big._1},"sec":${big._3},"rows_per_sec":${big._4}}]}"""
+          s"""{"metric":"scaling_efficiency","value":${jfmt(efficiency, "%.3f")},"unit":"ratio","n_rows":${big._2},"levels":[{"cores":${small._1},"sec":${small._3},"rows_per_sec":${small._4}},{"cores":${big._1},"sec":${big._3},"rows_per_sec":${big._4}}]}"""
         // scalastyle:off println
         println(json)
         // scalastyle:on println
@@ -174,10 +188,10 @@ object ScalingBench {
              |
              || parallelism | wall (s) | throughput (turns/s) |
              ||---|---|---|
-             || local[${small._1}] (N) | ${small._3} | ${f"${small._4}%.0f"} |
-             || local[${big._1}] (4N) | ${big._3} | ${f"${big._4}%.0f"} |
+             || local[${small._1}] (N) | ${small._3} | ${jfmt(small._4, "%.0f")} |
+             || local[${big._1}] (4N) | ${big._3} | ${jfmt(big._4, "%.0f")} |
              |
-             |**Scaling efficiency (Th_4N / Th_N) / 4 = ${f"$efficiency%.3f"}** (north-rule
+             |**Scaling efficiency (Th_4N / Th_N) / 4 = ${jfmt(efficiency, "%.3f")}** (north-rule
              |target: >= 0.8; measured as the sandbox proxy for N vs 4N executors per
              |BASELINE.md).
              |""".stripMargin
@@ -186,7 +200,7 @@ object ScalingBench {
           StandardOpenOption.CREATE, StandardOpenOption.APPEND)
 
       case other =>
-        sys.error(s"--mode must be gen|level|summarize, got $other")
+        sys.error(s"--mode must be gen|level|profile|summarize, got $other")
     }
   }
 }
