@@ -32,6 +32,10 @@ final class KllSketch private (
 
   def n: Long = nTotal
 
+  /** Test hook: the merge-RNG state must never be zero (xorshift64* is
+    * a fixed point at 0 — see the parenthesization note in merge). */
+  private[sketch] def rngStateForTest: Long = rngState
+
   @inline private def nextBit(): Boolean = {
     // xorshift64*
     var x = rngState

@@ -176,6 +176,35 @@ class TranscriptJobsSpec extends SparkTestBase {
       s"reverse mode claimed absence beyond built parts: $claimedAbsent")
   }
 
+  test("empty top hash range: bank records the WRITER's modulus, probes stay exact") {
+    // few conversations into 64 hash ranges leaves ranges empty; the
+    // TOP range being empty is the case where inferring the modulus as
+    // max(observed part)+1 misroutes every probe (the bank would be
+    // probed at pmod(h, 63) against parts built at 64). The writer's
+    // modulus now travels in _graft_meta.json. Seed chosen at runtime
+    // (deterministically — the generator is pure in its seed) as the
+    // first one whose top range is empty.
+    val nSparse = 12L
+    val seed = (1L to 40L).find { s =>
+      val p = s"$workDir/sparse_probe_$s"
+      TranscriptTable.write(TranscriptGen.generate(spark, s, nSparse), p, 64)
+      val mx = TranscriptTable.read(spark, p).select(TranscriptTable.PartCol)
+        .agg(org.apache.spark.sql.functions.max(TranscriptTable.PartCol))
+        .head().getInt(0)
+      mx < 63
+    }
+    assert(seed.isDefined, "no seed in 1..40 left the top range empty")
+    val p = s"$workDir/sparse_probe_${seed.get}"
+    val out = s"$workDir/build_sparse"
+    SketchBuildJob.run(spark, SketchBuildJob.Config(p, out))
+    assert(SketchBuildJob.recordedNParts(out) === Some(64),
+      "bank must record the writer's modulus, not max(part)+1")
+    val members = ProbeJob.probeBank(spark,
+      TranscriptTable.read(spark, p).select("conv_id").distinct(),
+      out, "conv_id").count()
+    assert(members === nSparse, s"misrouted probes dropped members: $members")
+  }
+
   test("bank probe is correct under high intra-JVM concurrency (shared sketch instances)") {
     val out = s"$workDir/build_conc"
     SketchBuildJob.run(spark, SketchBuildJob.Config(tablePath, out))

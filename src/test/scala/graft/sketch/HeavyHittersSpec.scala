@@ -62,4 +62,33 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(back.n === hh.n)
     assert(back.topK(32) === hh.topK(32))
   }
+
+  test("eviction and merge truncation are deterministic under count ties") {
+    // all counters tie — the eviction victim and the merge's kept set
+    // must come from the (count, key) total order, never hash-map
+    // iteration order (retried tasks must serialize identical sketches)
+    def build(order: Seq[String]): HeavyHittersSketch = {
+      val hh = HeavyHittersSketch(4)
+      order.foreach(hh.update(_))
+      hh.update("zzz-newcomer") // forces one eviction among tied minimums
+      hh
+    }
+    val keys = Seq("a", "b", "c", "d")
+    val s1 = build(keys)
+    val s2 = build(keys.reverse)
+    assert(java.util.Arrays.equals(s1.serialize(), s2.serialize()),
+      "insertion order must not leak into the sketch under ties")
+    // the evicted victim is the lexicographically smallest tied key
+    assert(!s1.topK(4).exists(_._1 == "a"))
+
+    // merge truncation ties break the same way across construction order
+    def half(ks: Seq[String]): HeavyHittersSketch = {
+      val hh = HeavyHittersSketch(4)
+      ks.foreach(hh.update(_))
+      hh
+    }
+    val m1 = half(Seq("p", "q", "r", "s")).merge(half(Seq("t", "u", "v", "w")))
+    val m2 = half(Seq("w", "v", "u", "t")).merge(half(Seq("s", "r", "q", "p")))
+    assert(java.util.Arrays.equals(m1.serialize(), m2.serialize()))
+  }
 }

@@ -302,4 +302,36 @@ class SketchAccuracySpec extends AnyFunSuite {
     cms.update(x, 2L) // positive still fine
     assert(cms.estimate(x) === 2L)
   }
+
+  test("KLL merge RNG never collapses to the xorshift fixed point") {
+    // two fresh partials share the deterministic seed; the old
+    // `a ^= b | 1` mix zeroed the state here and every later compaction
+    // coin-flip came up 0 — the bound's random offset was gone
+    val a = KllSketch(200)
+    val b = KllSketch(200)
+    (1 to 50).foreach(i => { a.update(i.toDouble); b.update(i + 100.0) })
+    a.merge(b)
+    assert(a.rngStateForTest !== 0L, "merge RNG state must stay non-zero")
+    // chains of same-seed merges (the reduce-tree shape) stay non-zero too
+    val c = KllSketch(200)
+    (1 to 6).foreach { _ =>
+      val fresh = KllSketch(200)
+      fresh.update(1.0)
+      c.merge(fresh)
+      assert(c.rngStateForTest !== 0L)
+    }
+  }
+
+  test("Bloom merge rejects bitsPerItem mismatch even when k collides") {
+    // k = ceil(0.7*bpi) gives k=7 for BOTH bpi=9 and bpi=10 — but the
+    // bit-set geometry differs, and the reference's (k, maxSize, hash)
+    // check would OR mismatched layouts (accidental corruption, not
+    // contract; we are deliberately stricter)
+    val a = BloomSketch(1024, 9)
+    val b = BloomSketch(1024, 10)
+    assert(a.k === b.k)
+    a.put(graft.core.ByteOps.utf8("x"))
+    b.put(graft.core.ByteOps.utf8("y"))
+    intercept[IllegalArgumentException](a.merge(b))
+  }
 }
