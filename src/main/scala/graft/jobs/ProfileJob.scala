@@ -39,8 +39,11 @@ object ProfileJob {
   private val Quantiles = Seq("p01" -> 0.01, "p25" -> 0.25, "p50" -> 0.5,
     "p75" -> 0.75, "p99" -> 0.99)
 
-  def profile(df: DataFrame, hllP: Int = 14, kllK: Int = 200,
-      hhCapacity: Int = 64, histBins: Int = 10): TableProfile = {
+  /** The SINGLE aggregation frame the profiler collects — exposed so
+    * the plan-shape test audits the REAL plan (a test-local lookalike
+    * cannot fail when this builder regresses to multiple passes). */
+  private[jobs] def profileFrame(df: DataFrame, hllP: Int = 14, kllK: Int = 200,
+      hhCapacity: Int = 64): DataFrame = {
     val fields = df.schema.fields
     val aggs = Seq.newBuilder[Column]
     aggs += F.count(F.lit(1)).as("__rows")
@@ -62,7 +65,13 @@ object ProfileJob {
       }
     }
     val built = aggs.result()
-    val row: Row = df.agg(built.head, built.tail: _*).head()
+    df.agg(built.head, built.tail: _*)
+  }
+
+  def profile(df: DataFrame, hllP: Int = 14, kllK: Int = 200,
+      hhCapacity: Int = 64, histBins: Int = 10): TableProfile = {
+    val fields = df.schema.fields
+    val row: Row = profileFrame(df, hllP, kllK, hhCapacity).head()
 
     def bytesOf(name: String): Option[Array[Byte]] =
       if (row.schema.fieldNames.contains(name)) Some(row.getAs[Array[Byte]](name)) else None

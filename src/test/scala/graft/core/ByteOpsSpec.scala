@@ -45,17 +45,23 @@ class ByteOpsSpec extends AnyFunSuite {
   }
 
   test("rotates are signed-shift pseudo-rotations (not true rotations)") {
-    assert(ByteOps.rotateInt(-2, 1) === ((-2 >> 1) | (-2 << 31)))
-    assert(ByteOps.rotateLong(-2L, 1) === ((-2L >> 1) | (-2L << 63)))
+    // HARDCODED goldens printed by the COMPILED reference's
+    // LongHashMethods (not a re-typed copy of the formula — an oracle
+    // that shares the implementation's expression can never catch a
+    // mistranscription, e.g. >> vs >>>)
+    assert(ByteOps.rotateInt(-2, 1) === -1)
+    assert(ByteOps.rotateLong(-2L, 1) === -1L)
+    assert(ByteOps.rotateInt(0x12345678, 7) === -266049364)
+    assert(ByteOps.rotateLong(0x123456789abcdefL, 13) === 8032179943414451550L)
+    // a TRUE rotation of -2 by 1 would be Integer.rotateRight(-2,1) =
+    // 0x7fffffff, not -1 — the signed-shift quirk is the contract
+    assert(ByteOps.rotateInt(-2, 1) !== Integer.rotateRight(-2, 1))
   }
 
   test("condense folds at rotating position") {
     val bytes = Array.tabulate(20)(i => (i + 1).toByte)
-    var expect = 0L
-    var pos = 0
-    bytes.foreach { b =>
-      expect ^= b.toLong << (pos * 8); pos = (pos + 1) % 8
-    }
-    assert(ByteOps.condenseBytesIntoLong(bytes) === expect)
+    // goldens from the compiled reference (same rationale as above)
+    assert(ByteOps.condenseBytesIntoLong(bytes) === 1731642887648254489L)
+    assert(ByteOps.condenseBytesIntoInt(bytes) === 68358673)
   }
 }

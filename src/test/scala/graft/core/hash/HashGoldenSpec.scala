@@ -114,7 +114,7 @@ class HashGoldenSpec extends AnyFunSuite {
 
   test("all kernels: hash64K(x,k)(0) == hash64(x) and String == UTF-8 bytes") {
     // The reference's own invariant suite (HashImplTestBase.java:40-46).
-    val inputs = corpus.filter(_ => true)
+    val inputs = corpus
     HashKernels.all.foreach { k =>
       inputs.foreach { s =>
         val bytes = s.getBytes("UTF-8")

@@ -26,6 +26,9 @@ class ProfileJobSpec extends SparkTestBase {
     val exactLang = docs.groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(lang.approxDistinct.get === exactLang.size.toLong)
+    // nonEmpty first: a bare foreach passes vacuously if top-value
+    // profiling silently returns an empty list
+    assert(lang.topValues.get.nonEmpty, "string column must report top values")
     lang.topValues.get.foreach { case (v, cnt) => assert(exactLang(v) === cnt) }
 
     // n_chars: numeric histogram partitions all rows
@@ -43,17 +46,16 @@ class ProfileJobSpec extends SparkTestBase {
   }
 
   test("profile runs as ONE aggregation job (single-pass scan)") {
-    val plan = {
-      import org.apache.spark.sql.{functions => F}
-      // reproduce the agg the profiler builds and check its shape: one
-      // ObjectHashAggregate pair over one scan, no joins/extra exchanges
-      val df = docs
-      df.agg(F.count(F.lit(1)).as("r"),
-        graft.spark.functions.hll_sketch(F.col("doc_id"), 14).as("h"),
-        graft.spark.functions.kll_sketch(F.col("n_chars"), 200).as("k"))
-        .queryExecution.executedPlan.toString
-    }
+    // audit the PROFILER'S OWN frame — a test-local lookalike agg would
+    // keep passing after the builder regressed to one pass per column
+    val plan = ProfileJob.profileFrame(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"profiler plan must not join:\n$plan")
     assert(plan.contains("ObjectHashAggregate"))
+    // every column's sketches ride the one aggregation: no more than a
+    // single partial/final aggregate pair and a single scan
+    assert("ObjectHashAggregate".r.findAllIn(plan).size <= 2,
+      s"profiler must stay one aggregate pair:\n$plan")
+    assert("(FileScan|Scan |LocalTableScan)".r.findAllIn(plan).size <= 1,
+      s"profiler must scan once:\n$plan")
   }
 }

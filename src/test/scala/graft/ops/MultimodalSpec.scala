@@ -29,10 +29,26 @@ class MultimodalSpec extends SparkTestBase {
   }
 
   test("size-aware repartitioning balances bytes, not rows") {
-    val df = Multimodal.repartitionBySize(assets.toDF(), "content", 1L << 20)
+    val target = 64L << 10 // small target so the corpus spreads over many parts
+    val df = Multimodal.repartitionBySize(assets.toDF(), "content", target)
     val total = assets.toDF().agg(F.sum(F.length($"content"))).head().getLong(0)
-    val expectParts = math.max(1, math.ceil(total / (1L << 20).toDouble).toInt)
+    val expectParts = math.max(1, math.ceil(total / target.toDouble).toInt)
     assert(df.rdd.getNumPartitions === expectParts)
+    // MEASURE the byte distribution — the partition count alone would
+    // still pass if the hash key collapsed (e.g. a magic-byte prefix
+    // routed every PNG to one partition). Full-content hashing must
+    // keep the max partition within a few times the even share.
+    val perPart = df.select(F.length($"content").cast("long").as("b"))
+      .rdd.mapPartitions(it => Iterator(it.map(_.getLong(0)).sum))
+      .collect()
+    assert(perPart.length === expectParts)
+    assert(perPart.sum === total)
+    val maxPart = perPart.max
+    assert(maxPart <= math.max(target * 3, total / 2),
+      s"byte skew: max partition $maxPart of $total across $expectParts parts " +
+        s"(${perPart.mkString(",")})")
+    // and it genuinely spread: more than one partition carries bytes
+    assert(perPart.count(_ > 0) > 1, s"all bytes on one partition: ${perPart.mkString(",")}")
   }
 
   test("decode/resize pipeline: deterministic fingerprints, schema, partition-count independent") {

@@ -30,7 +30,12 @@ class OpsSpec extends SparkTestBase {
     val sb = TextOps.minhashSignature(b, 256, 2)
     val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / 256
     val exact = TextOps.jaccardShingles(a, b, 2)
-    assert(math.abs(est - exact) <= 0.15, s"minhash est=$est exact=$exact")
+    // 3-sigma bound for 256 independent hash agreements:
+    // sigma = sqrt(J(1-J)/256) <= 0.032 — a 0.15 tolerance (~6 sigma)
+    // would pass a substantially biased estimator
+    val sigma = math.sqrt(exact * (1 - exact) / 256)
+    assert(math.abs(est - exact) <= 3 * sigma + 1.0 / 256,
+      s"minhash est=$est exact=$exact (3sigma=${3 * sigma})")
 
     // fingerprint: sensitive to order, insensitive to case/whitespace
     assert(TextOps.fingerprint("hello world") !== TextOps.fingerprint("world hello"))

@@ -26,6 +26,10 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(TDigestSketch.deserialize(row.getAs[Array[Byte]]("t")).quantile(0.5).isNaN)
     assert(graft.sketch.BloomSketch.deserialize(row.getAs[Array[Byte]]("b"))
       .contains("anything") === false)
+    // CMS was built but previously never checked — the empty sketch must
+    // deserialize and estimate zero for any key
+    val cms = graft.sketch.CmsSketch.deserialize(row.getAs[Array[Byte]]("c"))
+    assert(cms.estimate(graft.core.ByteOps.utf8("anything")) === 0L)
   }
 
   test("all-null input column: sketches stay empty, hash expressions yield null") {

@@ -402,12 +402,18 @@ class GraftFunctionsSpec extends SparkTestBase {
       "SELECT g, vec_mean(vec) AS c FROM vm_items GROUP BY g")
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
     expected.foreach { case (g, e) => assert(viaSql(g).sameElements(e)) }
-    // dimension mismatch fails loudly, not silently biased
+    // dimension mismatch fails loudly, not silently biased — and for
+    // THAT reason: `getMessage != null` passes for any failure at all,
+    // so walk the cause chain for the guard's own wording
     val bad = Seq((1L, Array(1f, 2f)), (1L, Array(1f, 2f, 3f))).toDF("g", "vec")
     val ex = intercept[Exception] {
       bad.groupBy("g").agg(vec_mean(F.col("vec"))).collect()
     }
-    assert(ex.getMessage != null)
+    val messages = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages.toLowerCase.contains("dimension") ||
+      messages.toLowerCase.contains("mismatch"),
+      s"expected the dimension guard's message, got: $messages")
   }
 
   test("hll_union is byte-identical to the aggregate merge; intersection estimate tracks exact") {
