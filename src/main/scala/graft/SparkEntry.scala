@@ -229,6 +229,29 @@ object SparkEntry {
         .orderBy("item")
     }),
 
+    // exponentially time-decayed event counts (halflife = 1 day against
+    // a fixed reference instant) — the recency-weighted frequency every
+    // trending/"what is hot now" rollup runs. The decay weight per event
+    // is 2^-k with k = whole days elapsed — an exact dyadic rational —
+    // so contributions are INTEGERS (1 << (40-k)) and the rollup is
+    // float-order-free: exact oracle, no pow() in either engine. Shape:
+    // one map-side-combined aggregation; the exchange carries
+    // (type, partial integer sums).
+    "decayed_event_counts" -> ((s, dir) => {
+      val ev = read(s, dir, "events")
+      // 2024-02-01 00:00 UTC, after max(ts); k in [0, 31] << the 40-bit
+      // fixed-point budget
+      val k = F.floor((F.lit(1706745600L) - F.unix_timestamp(F.col("ts"))) /
+        F.lit(86400.0)).cast("int")
+      ev.select(F.col("event_type"), k.as("__k"))
+        .withColumn("__w", F.expr("shiftleft(CAST(1 AS BIGINT), 40 - __k)"))
+        .groupBy(F.col("event_type"))
+        .agg(F.count(F.lit(1)).as("n_events"), F.sum(F.col("__w")).as("decayed_fp"))
+        .withColumn("decayed_count",
+          F.col("decayed_fp").cast("double") / F.lit(1099511627776.0))
+        .orderBy("event_type")
+    }),
+
     // SpaceSaving heavy hitters (Metwally 2005): capacity 256 >= 50
     // distinct keys means no evictions ever happen, so counts are exact
     // and `GROUP BY ... ORDER BY count DESC, key LIMIT k` is an exact
@@ -2782,6 +2805,16 @@ object SparkEntry {
       """SELECT event_type || ':' || CAST(user_id % 10 AS VARCHAR) AS item,
         |  count(*) AS est_cnt
         |FROM events GROUP BY 1 ORDER BY item""".stripMargin,
+
+    // dyadic decay weights as shifted integers — no pow(), order-free
+    "decayed_event_counts" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(floor((1706745600 - floor(epoch(ts))) / 86400.0) AS INT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(1 AS BIGINT) << (40 - k)) AS BIGINT) AS decayed_fp,
+        |  CAST(sum(CAST(1 AS BIGINT) << (40 - k)) AS DOUBLE) / 1099511627776 AS decayed_count
+        |FROM e GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "hh_topk" ->
       """SELECT event_type || ':' || CAST(user_id % 10 AS VARCHAR) AS item,
