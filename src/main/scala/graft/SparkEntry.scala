@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Decontaminate, Dedup, Similarity, TextAnalysis}
 import graft.spark.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -243,7 +243,13 @@ object SparkEntry {
       // fixed-point budget
       val k = F.floor((F.lit(1706745600L) - F.unix_timestamp(F.col("ts"))) /
         F.lit(86400.0)).cast("int")
-      ev.select(F.col("event_type"), k.as("__k"))
+      // guard: shiftleft wraps its shift mod 64 in Spark but not in
+      // DuckDB, so a fixture timestamp outside the [0,40]-day window
+      // would diverge SILENTLY — fail loudly in both engines instead
+      val kGuarded = F.when(k.between(0, 40), k).otherwise(F.raise_error(
+        F.concat(F.lit("decayed_event_counts: k outside [0,40]: "),
+          k.cast("string"))))
+      ev.select(F.col("event_type"), kGuarded.as("__k"))
         .withColumn("__w", F.expr("shiftleft(CAST(1 AS BIGINT), 40 - __k)"))
         .groupBy(F.col("event_type"))
         .agg(F.count(F.lit(1)).as("n_events"), F.sum(F.col("__w")).as("decayed_fp"))
@@ -1429,8 +1435,12 @@ object SparkEntry {
       // back to the raw token set below shingleSize, which the trigram
       // oracle SQL deliberately does not model — exclude sub-trigram
       // docs on BOTH sides so equality is structural, not coincidental
+      // guard on NON-EMPTY tokens (shingling drops empties): a raw
+      // split count would admit a doc with 3 raw but <3 real tokens,
+      // which falls into shingles' token-set fallback the oracle does
+      // not model
       val docs = read(s, dir, "documents").filter(F.col("doc_id") < 100)
-        .filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        .filter(F.size(Decontaminate.tokens(F.col("text"))) >= 3)
         .select(F.col("doc_id"), F.col("text"))
       val mutated = docs.select((F.col("doc_id") + 100000).as("doc_id"),
         F.concat(F.col("text"), F.lit(" tailmarker")).as("text"))
@@ -2422,7 +2432,8 @@ object SparkEntry {
     // 100-doc slice + tailmarker twins
     "minhash_dups_exact" ->
       """WITH base AS (SELECT doc_id, text FROM documents
-        |              WHERE doc_id < 100 AND len(string_split(text, ' ')) >= 3),
+        |              WHERE doc_id < 100
+        |                AND len(list_filter(string_split(text, ' '), t -> t <> '')) >= 3),
         |d AS (SELECT doc_id, text FROM base
         |      UNION ALL
         |      SELECT doc_id + 100000 AS doc_id, text || ' tailmarker' AS text FROM base),
@@ -2808,9 +2819,12 @@ object SparkEntry {
 
     // dyadic decay weights as shifted integers — no pow(), order-free
     "decayed_event_counts" ->
-      """WITH e AS (SELECT event_type,
-        |  CAST(floor((1706745600 - floor(epoch(ts))) / 86400.0) AS INT) AS k
-        |  FROM events)
+      """WITH e0 AS (SELECT event_type,
+        |  CAST(floor((1706745600 - floor(epoch(ts))) / 86400.0) AS INT) AS k0
+        |  FROM events),
+        |e AS (SELECT event_type, CASE WHEN k0 BETWEEN 0 AND 40 THEN k0
+        |  ELSE CAST(error('decayed_event_counts: k outside [0,40]: ' || k0) AS INT)
+        |  END AS k FROM e0)
         |SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(1 AS BIGINT) << (40 - k)) AS BIGINT) AS decayed_fp,
         |  CAST(sum(CAST(1 AS BIGINT) << (40 - k)) AS DOUBLE) / 1099511627776 AS decayed_count

@@ -489,7 +489,16 @@ case class PqAdcScoreExpr(left: Expression, right: Expression,
   def score(codes: ArrayData, q: ArrayData): Double = {
     val m = codebooks.length
     val dsub = codebooks(0)(0).length
-    if (codes.numElements() != m || q.numElements() != m * dsub) return 0.0
+    // A codes column whose width disagrees with the codebook tensor means
+    // the row was encoded against a different quantizer — corrupt pairing,
+    // fail loudly (silently scoring 0.0 would degrade every shortlist to
+    // arbitrary ties with no visible error). Only the documented
+    // query-dimension case degrades to 0.0.
+    if (codes.numElements() != m) {
+      throw new IllegalArgumentException(
+        s"pq_adc_score: codes length ${codes.numElements()} != codebook blocks $m")
+    }
+    if (q.numElements() != m * dsub) return 0.0
     var normSq = 0.0
     var d = 0
     val dims = m * dsub

@@ -236,6 +236,28 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(graft.sources.TextKvSource.read(spark, dir2).count() === 0)
   }
 
+  test("pqAdcScore: codes-width mismatch fails loudly, query-dim mismatch degrades to 0") {
+    import spark.implicits._
+    // 2 blocks x 2 centroids x 2 dims
+    val books = Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)),
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val q = Array(1.0f, 0.0f, 0.0f, 1.0f)
+    // codes narrower than the codebook tensor = encoded against a
+    // DIFFERENT quantizer — must throw, not silently zero the shortlist
+    val bad = Seq((1L, Array(0), q)).toDF("id", "codes", "q")
+    val e = intercept[IllegalArgumentException] {
+      bad.select(graft.ops.Similarity.pqAdcScore(
+        F.col("codes"), F.col("q"), books)).collect()
+    }
+    assert(e.getMessage.contains("codes length"), e.getMessage)
+    // documented degradation: wrong QUERY dimension scores 0.0
+    val shortQ = Seq((1L, Array(0, 0), Array(1.0f, 0.0f))).toDF("id", "codes", "q")
+    val got = shortQ.select(graft.ops.Similarity.pqAdcScore(
+      F.col("codes"), F.col("q"), books)).head().getDouble(0)
+    assert(got === 0.0)
+  }
+
   test("generatePngAssets edges: zero rows, invalid distinctPixels rejected") {
     assert(graft.ops.Multimodal.generatePngAssets(spark, 0, 4).count() === 0)
     intercept[IllegalArgumentException](
