@@ -1471,6 +1471,27 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // SimHash in the EXACT-oracle regime (the last LSH family row
+    // without a twin): signatures via the md5-based SQL-expressible
+    // simhash60Md5, a single shared bucket (probeAll) makes candidates
+    // provably all pairs, and the Hamming verify then fully determines
+    // the output — DuckDB recomputes both the 60-bit signature and
+    // bit_count(xor) from scratch on the same bounded slice. >=1-token
+    // guard keeps zero-token docs (absent from the oracle's unnest)
+    // out of both sides.
+    "simhash_dups_exact" -> ((s, dir) => {
+      val base = read(s, dir, "documents").filter(F.col("doc_id") < 120)
+        .filter(F.size(Decontaminate.tokens(F.col("text"))) >= 1)
+        .select(F.col("doc_id"), F.col("text"))
+      val mutated = base.select((F.col("doc_id") + 100000).as("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailmarker")).as("text"))
+      val sig = base.unionAll(mutated).select(F.col("doc_id"),
+        TextAnalysis.simhash60Md5(F.col("text")).as("__sim"))
+      Dedup.simhashPairsFromSig(sig, "doc_id", "__sim",
+        maxHamming = 12, probeAll = true)
+        .orderBy("id_a", "id_b")
+    }),
+
     // near-dup CLUSTERING: exact trigram-Jaccard pairs at t=0.5 fed into
     // distributed min-label connected components — the step that turns
     // pairs into dedup groups (similarity is not transitive; a curation
@@ -2451,6 +2472,33 @@ object SparkEntry {
         |FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
         |WHERE CAST(i AS DOUBLE) / (sa.s + sb.s - i) >= CAST(0.7 AS DOUBLE)
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // full recomputation of the md5-based 60-bit simhash + brute-force
+    // hamming over the same bounded slice (probeAll makes the engine's
+    // candidate set provably all pairs, so this is the complete answer)
+    "simhash_dups_exact" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |              WHERE doc_id < 120
+        |                AND len(list_filter(string_split(text, ' '), t -> t <> '')) >= 1),
+        |d AS (SELECT doc_id, text FROM base
+        |      UNION ALL
+        |      SELECT doc_id + 100000 AS doc_id, text || ' tailmarker' AS text FROM base),
+        |tok AS (SELECT doc_id,
+        |          unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS t
+        |        FROM d),
+        |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok),
+        |bits AS (SELECT doc_id, gs.b,
+        |           sum(CASE WHEN (h >> gs.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |         FROM h CROSS JOIN generate_series(0, 59) gs(b)
+        |         GROUP BY 1, 2),
+        |sig AS (SELECT doc_id,
+        |          sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sim
+        |        FROM bits GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |            CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+        |          FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming FROM pairs
+        |WHERE hamming <= 12 ORDER BY id_a, id_b""".stripMargin,
 
     // transitive closure over the brute-force trigram-Jaccard pairs at
     // t=0.5; component = min reachable doc_id

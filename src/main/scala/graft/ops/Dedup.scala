@@ -556,13 +556,34 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sig = df.select(F.col(idCol),
-      TextAnalysis.simhash64(F.col(textCol)).as("__sim"))
-    val banded = sig.select(F.col(idCol), F.col("__sim"),
-      F.posexplode(F.array((0 until 4).map(b =>
-        F.shiftright(F.col("__sim"), b * 16).bitwiseAND(F.lit(0xffffL))): _*))
-        .as(Seq("__band", "__bucket")))
+      maxHamming: Int = 3): DataFrame =
+    simhashPairsFromSig(
+      df.select(F.col(idCol),
+        TextAnalysis.simhash64(F.col(textCol)).as("__sim")),
+      idCol, "__sim", maxHamming)
+
+  /** SimHash pair generation over a PRECOMPUTED signature column.
+    * `probeAll = true` collapses the banding to one shared bucket so the
+    * candidate set is provably all pairs — the exact-oracle regime (the
+    * Hamming verify then fully determines the output, checkable against
+    * brute-force SQL on the same signatures); production banding stays
+    * the 4 x 16-bit scheme. */
+  def simhashPairsFromSig(
+      sigDf: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int,
+      probeAll: Boolean = false): DataFrame = {
+    val sig = sigDf.select(F.col(idCol), F.col(sigCol).as("__sim"))
+    val banded =
+      if (probeAll)
+        sig.select(F.col(idCol), F.col("__sim"),
+          F.lit(0).as("__band"), F.lit(0L).as("__bucket"))
+      else
+        sig.select(F.col(idCol), F.col("__sim"),
+          F.posexplode(F.array((0 until 4).map(b =>
+            F.shiftright(F.col("__sim"), b * 16).bitwiseAND(F.lit(0xffffL))): _*))
+            .as(Seq("__band", "__bucket")))
     val left = banded.select(F.col("__band"), F.col("__bucket"),
       F.col(idCol).as("id_a"), F.col("__sim").as("sim_a"))
     val right = banded.select(F.col("__band"), F.col("__bucket"),

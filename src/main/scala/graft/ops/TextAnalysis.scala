@@ -17,6 +17,28 @@ object TextAnalysis {
   def jaccard_shingles(a: Column, b: Column, shingleSize: Int = 3): Column =
     column(JaccardShingles(expression(a), expression(b), shingleSize))
 
+  /** A 60-bit SimHash over DISTINCT non-empty whitespace tokens whose
+    * per-token hash is the first 15 hex chars of md5 — every step is a
+    * Spark built-in AND plain ANSI SQL, so a DuckDB oracle can recompute
+    * the signature bit-for-bit. Exists to give the SimHash pair machinery
+    * an exact-oracle regime (`simhash_dups_exact`); production signatures
+    * stay [[simhash64]] (murmur-based, golden-pinned). Zero-token input
+    * yields signature 0. */
+  def simhash60Md5(c: Column): Column = {
+    val toks = F.array_distinct(F.filter(F.split(c, " "), t => t =!= F.lit("")))
+    val hashes = F.transform(toks, t =>
+      F.conv(F.substring(F.md5(t.cast("binary")), 1, 15), 16, 10).cast("long"))
+    val masks = F.array((0 until 60).map(b => F.lit(1L << b)): _*)
+    val votes = F.aggregate(hashes,
+      F.array_repeat(F.lit(0), 60),
+      (acc, h) => F.zip_with(acc, masks,
+        (a, m) => a + F.when(h.bitwiseAND(m) =!= 0, 1).otherwise(-1)))
+    F.aggregate(
+      F.zip_with(votes, masks,
+        (v, m) => F.when(v > F.lit(0), m).otherwise(F.lit(0L))),
+      F.lit(0L), (acc, x) => acc + x)
+  }
+
   /** Whitespace token count — composed from built-ins so it pushes into
     * codegen and has an exact DuckDB oracle. */
   def token_count(c: Column): Column =

@@ -29,6 +29,9 @@ class PlanAuditSpec extends SparkTestBase {
     * route every row through one partition). */
   private val allowBroadcastCross = Set("similarity_topk",
     "pipeline_length_filter", "ngram_lm_score", "minhash_dups_exact",
+    // simhash exact twin: probeAll single shared bucket — same
+    // constant-key fold as minhash_dups_exact, same bounded slice
+    "simhash_dups_exact",
     // the PQ ADC scan crosses the corpus codes against the BROADCAST
     // query set — the brute-force ANN design with an m-lookup kernel
     "pq_topk", "pq_topk_exact")
