@@ -1602,6 +1602,24 @@ object SparkEntry {
         .orderBy("asset_id")
     }),
 
+    // image resize through the REAL JDK scaler (Graphics2D +
+    // nearest-neighbor into INT_RGB): 64 solid-color PNGs are
+    // synthesized in-query, decoded, scaled to 20x18 (sources straddle
+    // the target on both axes), and the SCALED top-left pixel is
+    // arithmetic in the asset id — every interpolation of a constant
+    // field is the constant, so the oracle is exact.
+    "image_resize" -> ((s, dir) => {
+      val assets = graft.ops.Multimodal.generateSolidPngAssets(s, 64)
+      graft.ops.Multimodal.resizeImageAssets(assets, 20, 18).toDF()
+        .select(F.col("asset_id"),
+          F.col("src_width").cast("long").as("src_width"),
+          F.col("src_height").cast("long").as("src_height"),
+          F.col("width").cast("long").as("width"),
+          F.col("height").cast("long").as("height"),
+          F.col("argb00"))
+        .orderBy("asset_id")
+    }),
+
     // audio decode through the REAL javax.sound codec: 48 WAVs are
     // synthesized in-query (seeded PCM -> hand-built RIFF container on
     // the executors) and decoded back; the decoded metadata is
@@ -2397,6 +2415,19 @@ object SparkEntry {
         |  CAST(4278190080 + 17 * v * 65536 + 17 * ((v + 5) % 16) * 256
         |     + 17 * ((v + 11) % 16) AS BIGINT) AS argb00
         |FROM c ORDER BY asset_id, sample_idx""".stripMargin,
+
+    // the scaled raster of a constant-color source is the constant:
+    // argb00 after the real resize is pure palette arithmetic in i
+    "image_resize" ->
+      """SELECT CAST(i AS BIGINT) AS asset_id,
+        |  CAST(16 + i % 8 AS BIGINT) AS src_width,
+        |  CAST(16 + i % 4 AS BIGINT) AS src_height,
+        |  CAST(20 AS BIGINT) AS width,
+        |  CAST(18 AS BIGINT) AS height,
+        |  CAST(4278190080 + 17 * ((i * 31) % 16) * 65536
+        |     + 17 * (((i * 31) % 16 + 5) % 16) * 256
+        |     + 17 * (((i * 31) % 16 + 11) % 16) AS BIGINT) AS argb00
+        |FROM generate_series(0, 63) t(i) ORDER BY asset_id""".stripMargin,
 
     "multimodal_decode" ->
       """SELECT CAST(i AS BIGINT) AS asset_id,

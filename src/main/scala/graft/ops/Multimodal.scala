@@ -124,6 +124,33 @@ object Multimodal {
     }
   }
 
+  /** Deterministic SOLID-COLOR PNG corpus for the resize oracle: dims
+    * (16 + i%8) x (16 + i%4) straddle a ~20x18 target (both up- and
+    * down-scaling exercised), color v = (i*31) % 16 with channels
+    * (17v, 17·((v+5)%16), 17·((v+11)%16)) — the generateGifAssets
+    * palette arithmetic, so a SQL oracle can state the SCALED top-left
+    * pixel exactly (every interpolation of a constant field is the
+    * constant). PNG is lossless; the round-trip preserves the color
+    * bit-for-bit. */
+  def generateSolidPngAssets(spark: SparkSession, n: Long): Dataset[Asset] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val w = 16 + (i % 8).toInt
+      val h = 16 + (i % 4).toInt
+      val v = ((i * 31) % 16).toInt
+      val rgb = (17 * v << 16) | (17 * ((v + 5) % 16) << 8) | (17 * ((v + 11) % 16))
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = img.createGraphics()
+      g2.setColor(new java.awt.Color(rgb))
+      g2.fillRect(0, 0, w, h)
+      g2.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      Asset(i, "image", bos.toByteArray, w, h, 0, "png")
+    }
+  }
+
   /** Deterministic REAL-WAV corpus: seeded 16-bit PCM frames wrapped in
     * a hand-built RIFF/WAVE header — genuine encoded audio bytes with
     * zero external data, so [[decodeAudio]] runs the real
@@ -361,15 +388,57 @@ object Multimodal {
     }
   }
 
-  /** Resize. STUB: fake produces the target dims and a fingerprint
-    * derived from (source fingerprint, target dims) — deterministic, so
-    * tests can assert exact equality across partitionings. */
-  def resizeImages(decoded: Dataset[DecodedImage], w: Int, h: Int): Dataset[DecodedImage] = {
-    import decoded.sparkSession.implicits._
-    decoded.map { d =>
-      val fp = Murmur2Kernel.hash64Seeded(
-        graft.core.ByteOps.utf8(s"${d.pixels_fingerprint}:$w:$h"), 0L)
-      d.copy(width = w, height = h, pixels_fingerprint = fp)
+  /** One resized image: source dims, target dims, the top-left pixel of
+    * the SCALED raster as unsigned ARGB (the SQL-checkable witness — for
+    * a constant-color source every interpolation reproduces the color
+    * exactly), and the full scaled-pixels fingerprint. */
+  final case class ResizedImage(
+      asset_id: Long,
+      src_width: Int,
+      src_height: Int,
+      width: Int,
+      height: Int,
+      argb00: Long,
+      pixels_fingerprint: Long)
+
+  /** Resize: REAL for ImageIO-decodable bytes (png/jpeg/gif/bmp ship
+    * with the JRE) — decode, scale to (w, h) with `Graphics2D.drawImage`
+    * under the NEAREST_NEIGHBOR interpolation hint into an INT_RGB
+    * raster, and fingerprint the SCALED pixels. Bytes no installed codec
+    * recognizes keep the documented deterministic fake (recorded source
+    * dims, target dims, fingerprint of (encoded-bytes hash, target
+    * dims)) so downstream logic stays exercised either way. Same
+    * mapPartitions iterator shape as [[decodeImages]] — one raster in
+    * flight per task, never a materialized partition. */
+  def resizeImageAssets(assets: Dataset[Asset], w: Int, h: Int): Dataset[ResizedImage] = {
+    require(w > 0 && h > 0, s"target dims must be positive: ${w}x$h")
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "image").mapPartitions { it =>
+      it.map { a =>
+        val dec =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(a.content)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        dec match {
+          case Some(img) =>
+            val out = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g2 = out.createGraphics()
+            g2.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+            g2.drawImage(img, 0, 0, w, h, null)
+            g2.dispose()
+            ResizedImage(a.asset_id, img.getWidth, img.getHeight, w, h,
+              out.getRGB(0, 0).toLong & 0xffffffffL, pixelFingerprint(out))
+          case None =>
+            // STUB fallback: no installed codec for these bytes
+            val fp = Murmur2Kernel.hash64Seeded(
+              graft.core.ByteOps.utf8(s"${Murmur2Kernel.hash64(a.content)}:$w:$h"), 0L)
+            ResizedImage(a.asset_id, a.width, a.height, w, h,
+              fp & 0xffffffffL, fp)
+        }
+      }
     }
   }
 

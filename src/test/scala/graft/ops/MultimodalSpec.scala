@@ -55,14 +55,45 @@ class MultimodalSpec extends SparkTestBase {
     val decoded = Multimodal.decodeImages(assets)
     val nImages = assets.filter(_.kind == "image").count()
     assert(decoded.count() === nImages)
-    val resized = Multimodal.resizeImages(decoded, 224, 224)
+    // the synthetic corpus is murmur noise — no codec recognizes it, so
+    // this exercises the documented stub fallback of the resize path
+    val resized = Multimodal.resizeImageAssets(assets, 224, 224)
+    assert(resized.count() === nImages)
     assert(resized.filter(d => d.width != 224 || d.height != 224).count() === 0)
     // determinism across partitionings
     val r1 = resized.collect().sortBy(_.asset_id).map(_.pixels_fingerprint).toSeq
-    val r2 = Multimodal.resizeImages(
-      Multimodal.decodeImages(assets.repartition(13)), 224, 224)
+    val r2 = Multimodal.resizeImageAssets(assets.repartition(13), 224, 224)
       .collect().sortBy(_.asset_id).map(_.pixels_fingerprint).toSeq
     assert(r1 === r2)
+  }
+
+  test("real JDK-native resize: scaled dims, exact solid color, up- and down-scale") {
+    val solid = Multimodal.generateSolidPngAssets(spark, 16)
+    // target 20x18 straddles the source dims (w 16..23, h 16..19)
+    val out = Multimodal.resizeImageAssets(solid, 20, 18)
+      .collect().sortBy(_.asset_id)
+    assert(out.length === 16)
+    out.foreach { r =>
+      val i = r.asset_id
+      assert(r.src_width === 16 + (i % 8).toInt && r.src_height === 16 + (i % 4).toInt)
+      assert(r.width === 20 && r.height === 18)
+      val v = ((i * 31) % 16).toInt
+      val expected = 0xff000000L |
+        (17 * v << 16) | (17 * ((v + 5) % 16) << 8) | (17 * ((v + 11) % 16))
+      assert(r.argb00 === (expected & 0xffffffffL),
+        s"asset $i scaled top-left ${r.argb00} != $expected")
+    }
+    // both up- and down-scaling happened (sources on both sides of 20x18)
+    assert(out.exists(r => r.src_width < 20) && out.exists(r => r.src_width > 20))
+    // a non-solid REAL image resizes deterministically and its scaled
+    // fingerprint differs from the unscaled one (the pixels moved)
+    val textured = Multimodal.generatePngAssets(spark, 4, distinctPixels = 4)
+    val dec = Multimodal.decodeImages(textured).collect().sortBy(_.asset_id)
+    val res = Multimodal.resizeImageAssets(textured, 20, 18).collect().sortBy(_.asset_id)
+    val res2 = Multimodal.resizeImageAssets(textured.repartition(3), 20, 18)
+      .collect().sortBy(_.asset_id)
+    assert(res.map(_.pixels_fingerprint).toSeq === res2.map(_.pixels_fingerprint).toSeq)
+    assert(res.zip(dec).forall { case (r, d) => r.pixels_fingerprint != d.pixels_fingerprint })
   }
 
   test("real PNG/JPEG decode via javax.imageio: dims, channels, pixel fingerprint") {
