@@ -1654,6 +1654,21 @@ object SparkEntry {
         .orderBy("asset_id", "sample_idx")
     }),
 
+    // lang_id in the EXACT-oracle regime: on pure-ASCII text the CJK
+    // script path is provably off, so the heuristic reduces to the
+    // ordered stopword vote — hit counts, the shared-denominator score,
+    // the strictly-greater first-wins tie-break, and the 0.05 threshold
+    // are all plain SQL. Closes the deterministic half of
+    // doc_text_analysis's no_oracle row (simhash/fingerprint stay
+    // murmur-valued, golden-pinned).
+    "lang_id_exact" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+        .filter(F.col("text").rlike("^[\\x00-\\x7F]*$"))
+      docs.select(F.col("doc_id"),
+        TextAnalysis.lang_id(F.col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
     // per-document analysis projections: deterministic custom
     // expressions, rows-only (pinned by OpsSpec goldens/properties)
     "doc_text_analysis" -> ((s, dir) => {
@@ -2890,6 +2905,39 @@ object SparkEntry {
         |            w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))
         |  END AS BIGINT) AS n_subwords
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // full recomputation of the ASCII-regime heuristic: ordered
+    // stopword-profile vote with a shared denominator (so score ties ==
+    // hit-count ties), first profile wins, 0.05 floor — see
+    // TextOps.langId. The CJK branch is provably inert on the
+    // ASCII-filtered slice.
+    "lang_id_exact" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           WHERE regexp_matches(text, '^[\x00-\x7F]*$')),
+        |t AS (SELECT doc_id,
+        |        CASE WHEN length(trim(text)) = 0 THEN 0
+        |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n,
+        |        regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |      FROM d),
+        |s AS (SELECT doc_id, n,
+        |  len(list_filter(toks, x -> list_contains(['the','of','and','to','in','is','it','that','for','was','with','are','this','you','not'], x))) AS h_en,
+        |  len(list_filter(toks, x -> list_contains(['le','la','les','de','des','et','un','une','est','que','pour','dans','qui','pas','sur'], x))) AS h_fr,
+        |  len(list_filter(toks, x -> list_contains(['el','la','los','las','de','y','que','en','un','una','es','por','con','para','no'], x))) AS h_es,
+        |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','von','mit','nicht','ein','eine','zu','den','auf','fur','sich'], x))) AS h_de,
+        |  len(list_filter(toks, x -> list_contains(['il','la','di','e','che','un','una','per','non','sono','con','del','le','si','da'], x))) AS h_it
+        |      FROM t),
+        |m AS (SELECT doc_id, n, h_en, h_fr, h_es, h_de, h_it,
+        |        greatest(h_en, h_fr, h_es, h_de, h_it) AS hm FROM s)
+        |SELECT doc_id,
+        |  CASE WHEN n = 0 THEN 'und'
+        |       WHEN hm = 0 THEN 'und'
+        |       WHEN CAST(hm AS DOUBLE) / n < CAST(0.05 AS DOUBLE) THEN 'und'
+        |       WHEN h_en = hm THEN 'en'
+        |       WHEN h_fr = hm THEN 'fr'
+        |       WHEN h_es = hm THEN 'es'
+        |       WHEN h_de = hm THEN 'de'
+        |       ELSE 'it' END AS lang_pred
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "cms_event_counts" ->
       """SELECT event_type || ':' || CAST(user_id % 10 AS VARCHAR) AS item,

@@ -149,7 +149,11 @@ object TextOps {
 
   // ---- language identification (trigram + stopword heuristic) ----
 
-  private val StopwordProfiles: Map[String, Set[String]] = Map(
+  // ORDERED: first profile wins score ties (the vote replaces only on
+  // strictly-greater), so the order is part of the function's contract —
+  // a Map here would tie-break by HashMap iteration order, opaque to the
+  // SQL oracle that recomputes this vote (lang_id_exact)
+  private val StopwordProfiles: Seq[(String, Set[String])] = Seq(
     "en" -> Set("the", "of", "and", "to", "in", "is", "it", "that", "for", "was", "with", "are", "this", "you", "not"),
     "fr" -> Set("le", "la", "les", "de", "des", "et", "un", "une", "est", "que", "pour", "dans", "qui", "pas", "sur"),
     "es" -> Set("el", "la", "los", "las", "de", "y", "que", "en", "un", "una", "es", "por", "con", "para", "no"),

@@ -53,6 +53,18 @@ class OpsSpec extends SparkTestBase {
     assert(TextOps.langId("xk7 qq9 zz3") === "und")
   }
 
+  test("langId tie-break and threshold edge match the ordered-profile contract") {
+    // "la" is a stopword in fr, es AND it — all three tie at score 1.0;
+    // the vote replaces only on strictly-greater, so the FIRST profile in
+    // StopwordProfiles order (fr) must win. This ordering is contractual:
+    // the lang_id_exact DuckDB oracle re-implements the same first-wins CASE.
+    assert(TextOps.langId("la la la") === "fr")
+    // 1 hit / 20 tokens = 0.05: >= threshold, keeps the vote
+    assert(TextOps.langId(("the" +: (1 to 19).map(i => s"zz$i")).mkString(" ")) === "en")
+    // 1 hit / 21 tokens < 0.05: below threshold, falls to "und"
+    assert(TextOps.langId(("the" +: (1 to 20).map(i => s"zz$i")).mkString(" ")) === "und")
+  }
+
   test("exact dedup: planted duplicates collapse to min id") {
     val doubled = docs.select($"doc_id", $"text")
       .unionAll(docs.select(($"doc_id" + 10000).as("doc_id"), $"text"))
