@@ -1,0 +1,154 @@
+package graft.bench
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+import graft.data.DocCorpusGen
+
+/** Scale-evidence harness (VERDICT r4 "Next round #1"): the heavy
+  * dedup/CC/ANN queries executed unmodified over DocCorpusGen corpora at
+  * 1x and >=10x the sf0.1 row counts, with per-query task metrics —
+  * wall time, shuffle read/write bytes, spill bytes, and max/median task
+  * skew — captured by a SparkListener so the growth claim in BENCH.md is
+  * measured, not asserted.
+  *
+  * Modes:
+  *   --mode gen --out DIR --docs N --vecs N     synthesize a corpus
+  *   --mode run --dir DIR --cores C --queries a,b --json OUT.jsonl
+  *     run each named SparkEntry query twice (pass 1 = cold, including
+  *     any memoized index build; pass 2 = warm) and append one JSON line
+  *     per query. Run each corpus in its OWN JVM (bench/scale_evidence.sh)
+  *     so JIT/heap state cannot leak between levels.
+  */
+object ScaleEvidence {
+
+  private def jfmt(v: Double, p: String): String =
+    String.format(java.util.Locale.ROOT, p, Double.box(v))
+
+  /** Accumulates per-task metrics between resets. Synchronized: the
+    * listener bus delivers from its own thread. */
+  private final class Collector extends SparkListener {
+    val durations = new ArrayBuffer[Long]()
+    var shuffleRead = 0L
+    var shuffleWrite = 0L
+    var memSpill = 0L
+    var diskSpill = 0L
+    var failed = 0
+
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = synchronized {
+      if (te.taskInfo != null) {
+        if (!te.taskInfo.successful) failed += 1
+        durations += te.taskInfo.duration
+      }
+      val m = te.taskMetrics
+      if (m != null) {
+        shuffleRead += m.shuffleReadMetrics.totalBytesRead
+        shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+        memSpill += m.memoryBytesSpilled
+        diskSpill += m.diskBytesSpilled
+      }
+    }
+
+    def reset(): Unit = synchronized {
+      durations.clear(); shuffleRead = 0L; shuffleWrite = 0L
+      memSpill = 0L; diskSpill = 0L; failed = 0
+    }
+
+    /** The listener bus is async — wait until the task count is stable
+      * so a pass's tail events are not charged to the next pass. */
+    def drain(): Unit = {
+      var last = -1
+      var stable = 0
+      var spins = 0
+      while (stable < 2 && spins < 40) {
+        val n = synchronized(durations.length)
+        if (n == last) stable += 1 else { stable = 0; last = n }
+        Thread.sleep(100)
+        spins += 1
+      }
+    }
+
+    def json(sec: Double): String = synchronized {
+      val ds = durations.sorted
+      val p50 = if (ds.isEmpty) 0L else ds(ds.length / 2)
+      val max = if (ds.isEmpty) 0L else ds.last
+      val skew = if (p50 > 0) max.toDouble / p50 else 0.0
+      s"""{"sec":${jfmt(sec, "%.3f")},"tasks":${ds.length},"failed_tasks":$failed,""" +
+        s""""shuffle_read_mb":${jfmt(shuffleRead / 1048576.0, "%.2f")},""" +
+        s""""shuffle_write_mb":${jfmt(shuffleWrite / 1048576.0, "%.2f")},""" +
+        s""""spill_mem_mb":${jfmt(memSpill / 1048576.0, "%.2f")},""" +
+        s""""spill_disk_mb":${jfmt(diskSpill / 1048576.0, "%.2f")},""" +
+        s""""task_p50_ms":$p50,"task_max_ms":$max,"task_skew":${jfmt(skew, "%.2f")}}"""
+    }
+  }
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scale-evidence-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", sys.env.getOrElse("GRAFT_SPLIT_BYTES", "16m"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val argMap = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    argMap.get("--mode") match {
+      case Some("gen") =>
+        val out = argMap("--out")
+        val nDocs = argMap.getOrElse("--docs", "50000").toLong
+        val nVecs = argMap.getOrElse("--vecs", "20000").toLong
+        if (Files.exists(Paths.get(out))) {
+          // same doctrine as ScalingBench: a silent skip mislabels evidence
+          System.err.println(s"[scale] corpus at $out exists — REUSING; " +
+            s"--docs $nDocs/--vecs $nVecs NOT applied (delete to regenerate)")
+        } else {
+          val spark = session(Runtime.getRuntime.availableProcessors())
+          try DocCorpusGen.write(spark, out, seed = 42L, nDocs, nVecs)
+          finally spark.stop()
+        }
+
+      case Some("run") =>
+        val dir = argMap("--dir")
+        val cores = argMap.getOrElse("--cores", "32").toInt
+        val outJson = argMap("--json")
+        val names = argMap("--queries").split(',').toSeq
+        val spark = session(cores)
+        val collector = new Collector
+        spark.sparkContext.addSparkListener(collector)
+        try {
+          names.foreach { name =>
+            val fn = graft.SparkEntry.queries.getOrElse(name,
+              sys.error(s"unknown query: $name"))
+            val passes = (1 to 2).map { _ =>
+              collector.drain()
+              collector.reset()
+              val t0 = System.nanoTime()
+              val rows = fn(spark, dir).count()
+              val sec = (System.nanoTime() - t0) / 1e9
+              collector.drain()
+              (rows, collector.json(sec))
+            }
+            val line = s"""{"query":"$name","dir":"$dir","cores":$cores,""" +
+              s""""rows":${passes.head._1},"cold":${passes(0)._2},"warm":${passes(1)._2}}"""
+            Files.write(Paths.get(outJson), (line + "\n").getBytes("UTF-8"),
+              StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+            // scalastyle:off println
+            println(line)
+            // scalastyle:on println
+          }
+        } finally spark.stop()
+
+      case other => sys.error(s"--mode must be gen|run, got $other")
+    }
+  }
+}
