@@ -77,6 +77,55 @@ class VocabSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("bpeTrain matches the reference at 1,000 merges (VERDICT r4 next #5)") {
+    // the incremental pair accounting's correctness claim is that counts
+    // after each merge equal a full recount — a 10-merge check cannot
+    // distinguish a stale-index bug that only bites once fusions chain
+    // deep, so this drives 1,000 merges over 400 distinct pseudo-words
+    // (deterministic lengths 3-10, Zipf-ish frequencies with heavy ties)
+    // against the full-recount regex reference
+    def refBpe(wordFreq: Map[String, Long], k: Int): Seq[(String, String, Long)] = {
+      var words = wordFreq.map { case (w, c) =>
+        ((w.map(_.toString) :+ "</w>").mkString(" "), c) }.toSeq
+      val out = Seq.newBuilder[(String, String, Long)]
+      for (_ <- 1 to k) {
+        val counts = words.flatMap { case (s, c) =>
+          val t = s.split(" ")
+          t.zip(t.drop(1)).map(p => (p, c))
+        }.groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }
+        if (counts.nonEmpty) {
+          val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+          out += ((l, r, c))
+          val pat = ("(?<!\\S)" + java.util.regex.Pattern.quote(l) + " " +
+            java.util.regex.Pattern.quote(r) + "(?!\\S)").r
+          words = words.map { case (s, c2) =>
+            (pat.replaceAllIn(s, java.util.regex.Matcher.quoteReplacement(l + r)), c2)
+          }
+        }
+      }
+      out.result()
+    }
+    val freq: Map[String, Long] = (0 until 400)
+      .map(i => graft.data.DocCorpusGen.word(i) -> (1L + (i * 7919) % 50))
+      .toMap
+    // bpeTrain sees only token frequencies, so a one-row-per-word corpus
+    // with the word repeated c times carries exactly this distribution
+    val corpus = freq.toSeq.sortBy(_._1).zipWithIndex.map { case ((w, c), i) =>
+      (i.toLong, Seq.fill(c.toInt)(w).mkString(" "))
+    }.toDF("doc_id", "text")
+    val k = 1000
+    val expected = refBpe(freq, k)
+    assert(expected.length === k, "reference exhausted early — corpus too small")
+    val got = Vocab.bpeTrain(corpus, "text", numMerges = k)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got.length === k)
+    // first mismatch (if any) reported with its rank, not a 1000-line diff
+    got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g === e, s"first divergence at merge rank ${i + 1}")
+    }
+  }
+
   test("bpeTrain on the corpus: deterministic, first merge = argmax char pair") {
     val k = 8
     val a = Vocab.bpeTrain(docs, "text", k).collect()
