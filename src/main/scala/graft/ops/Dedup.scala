@@ -551,16 +551,28 @@ object Dedup {
 
   /** SimHash near-duplicate pairs: 64-bit signature, candidates matched
     * on any of 4 x 16-bit bands, verified by Hamming distance <=
-    * `maxHamming` via the codegen'd bit_count built-in. */
+    * `maxHamming` via the codegen'd bit_count built-in.
+    *
+    * `shingleSize` > 1 (the default) signs order-sensitive token n-grams
+    * — REQUIRED at corpus scale: unigram SimHash collapses on Zipf text
+    * (any two documents share the high-frequency word types, so an
+    * order-insensitive vote puts ~15% of ALL pairs within hamming 3 —
+    * quadratic output; measured in the r5 scale run, BENCH.md).
+    * `shingleSize = 1` keeps the legacy unigram signature
+    * (TextOps.simhash64, golden-pinned). */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame =
+      maxHamming: Int = 3,
+      shingleSize: Int = 3): DataFrame = {
+    val sig =
+      if (shingleSize <= 1) TextAnalysis.simhash64(F.col(textCol))
+      else TextAnalysis.simhash_ngram64(F.col(textCol), shingleSize)
     simhashPairsFromSig(
-      df.select(F.col(idCol),
-        TextAnalysis.simhash64(F.col(textCol)).as("__sim")),
+      df.select(F.col(idCol), sig.as("__sim")),
       idCol, "__sim", maxHamming)
+  }
 
   /** SimHash pair generation over a PRECOMPUTED signature column.
     * `probeAll = true` collapses the banding to one shared bucket so the

@@ -10,6 +10,8 @@ import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 object TextAnalysis {
 
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+  def simhash_ngram64(c: Column, width: Int = 3): Column =
+    column(SimHashNgram64(expression(c), width))
   def minhash_sig(c: Column, numHashes: Int = 64, shingleSize: Int = 3): Column =
     column(MinHashSig(expression(c), numHashes, shingleSize))
   def fingerprint64(c: Column): Column = column(Fingerprint64(expression(c)))

@@ -192,13 +192,19 @@ class OpsSpec extends SparkTestBase {
     val corpus = docs.select($"doc_id", $"text").unionAll(mutated)
     val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3).cache()
     val planted = pairs.filter($"id_b" === $"id_a" + 10000).count()
-    // the one-token mutation flips >3 signature bits on short docs, so
-    // not every planted pair is within the radius — but banding (4x16 of
-    // 64 bits) provably reaches EVERY pair with hamming <= 3 (3 flips
-    // cannot touch all 4 bands), so found == (planted with hamming <= 3)
-    assert(planted >= docs.count() * 0.6, s"found $planted planted simhash dups")
-    // completeness at the radius: recompute hamming locally and compare
-    val sims = corpus.select($"doc_id", TextAnalysis.simhash64($"text").as("s"))
+    // the one-token mutation changes one n-gram feature, but on short
+    // fixture docs (~13-80 features) a single extra vote flips every bit
+    // whose margin was exactly 1 — about half the planted pairs stay
+    // within radius 3 (the unigram signature's TF-weighted votes had
+    // fatter margins, hence its old 0.6; the n-gram trade buys the
+    // decorrelation test below). Banding completeness (found == within
+    // radius, asserted next) is the structural property; this recall
+    // bound is data-dependent
+    assert(planted >= docs.count() * 0.45, s"found $planted planted simhash dups")
+    // completeness at the radius: recompute hamming locally (with the
+    // production n-gram signature simhashPairs now defaults to) and compare
+    val sims = corpus.select($"doc_id",
+        TextAnalysis.simhash_ngram64($"text", 3).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val withinRadius = sims.keys.filter(_ < 10000).count { id =>
       sims.contains(id + 10000) &&
@@ -206,6 +212,33 @@ class OpsSpec extends SparkTestBase {
     }
     assert(planted === withinRadius.toLong,
       s"banding must find exactly the pairs within the radius: $planted vs $withinRadius")
+  }
+
+  test("n-gram simhash decorrelates shared-vocabulary documents; unigram cannot") {
+    // two documents with the SAME token multiset in different orders —
+    // the Zipf failure mode in miniature (documents share word types,
+    // not phrasing). Unigram simhash is order-insensitive, so its
+    // signatures are IDENTICAL (hamming 0: a guaranteed false near-dup);
+    // the n-gram signature sees disjoint trigram sets and decorrelates.
+    val words = (0 until 60).map(i => graft.data.DocCorpusGen.word(i))
+    val a = words.mkString(" ")
+    val b = (words.grouped(2).map(_.reverse).flatten).toSeq.reverse.mkString(" ")
+    assert(TextOps.simhash64(a) === TextOps.simhash64(b))
+    val ngramHamming = java.lang.Long.bitCount(
+      TextOps.simhashNgram64(a, 3) ^ TextOps.simhashNgram64(b, 3))
+    assert(ngramHamming > 10, s"ngram hamming $ngramHamming")
+    // while a lightly mutated near-copy still lands within a small radius
+    val c = a.split(" ").zipWithIndex
+      .map { case (w, i) => if (i % 20 == 19) "zzrepl" else w }.mkString(" ")
+    val nearHamming = java.lang.Long.bitCount(
+      TextOps.simhashNgram64(a, 3) ^ TextOps.simhashNgram64(c, 3))
+    assert(nearHamming < ngramHamming,
+      s"near-copy $nearHamming vs permuted $ngramHamming")
+    // zero-token input keeps the documented signature-0 contract
+    assert(TextOps.simhashNgram64("", 3) === 0L)
+    assert(TextOps.simhashNgram64("   ", 3) === 0L)
+    // sub-width docs fall back to unigram features, not signature 0
+    assert(TextOps.simhashNgram64("one two", 3) !== 0L)
   }
 
   test("embedding dup pairs: planted near-identical vectors found via SRP buckets") {
@@ -847,6 +880,30 @@ class OpsSpec extends SparkTestBase {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got === expected, s"seed $seed")
     }
+  }
+
+  test("connectedComponents: O(log d) convergence on a deep chain and a giant star") {
+    import spark.implicits._
+    // worst-case diameter: a 1,024-edge path. Pointer-jumped min-label
+    // CC halves the unresolved depth per iteration, so maxIter = 16
+    // (log2(1024) + slack) must suffice — plain min-propagation would
+    // need ~1,024 iterations and FAIL this bound (the require(converged)
+    // inside connectedComponents is the assertion).
+    val chain = (0L until 1024L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chainGot = graft.ops.Dedup.connectedComponents(
+      chain, "id_a", "id_b", maxIter = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(chainGot.length === 1025)
+    assert(chainGot.forall(_._2 === 0L))
+    // Zipf-hotspot shape: one hub with 20,000 spokes (the giant
+    // near-dup cluster a boilerplate page produces). Star diameter is 2,
+    // so a tight bound of 4 iterations must hold regardless of scale.
+    val star = (1L to 20000L).map(i => (0L, i)).toDF("id_a", "id_b")
+    val starGot = graft.ops.Dedup.connectedComponents(
+      star, "id_a", "id_b", maxIter = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(starGot.length === 20001)
+    assert(starGot.forall(_._2 === 0L))
   }
 
   test("editDistancePairs equals brute-force levenshtein on seeded random typos") {
