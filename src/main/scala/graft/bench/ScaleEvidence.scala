@@ -32,7 +32,7 @@ object ScaleEvidence {
   /** Accumulates per-task metrics between resets. Synchronized: the
     * listener bus delivers from its own thread. */
   private final class Collector extends SparkListener {
-    val durations = new ArrayBuffer[Long]()
+    val durations = new ArrayBuffer[(Int, Long)]() // (stageId, taskMs)
     var shuffleRead = 0L
     var shuffleWrite = 0L
     var memSpill = 0L
@@ -42,7 +42,7 @@ object ScaleEvidence {
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = synchronized {
       if (te.taskInfo != null) {
         if (!te.taskInfo.successful) failed += 1
-        durations += te.taskInfo.duration
+        durations += ((te.stageId, te.taskInfo.duration))
       }
       val m = te.taskMetrics
       if (m != null) {
@@ -73,16 +73,29 @@ object ScaleEvidence {
     }
 
     def json(sec: Double): String = synchronized {
-      val ds = durations.sorted
+      val ds = durations.map(_._2).sorted
       val p50 = if (ds.isEmpty) 0L else ds(ds.length / 2)
       val max = if (ds.isEmpty) 0L else ds.last
-      val skew = if (p50 > 0) max.toDouble / p50 else 0.0
+      // data skew is a WITHIN-stage property: a query mixing a heavy
+      // candidate-join stage with dozens of 5 ms bookkeeping tasks (the
+      // CC iteration jobs) has a huge cross-stage max/p50 that says
+      // nothing about balance. Report the worst max/median over stages
+      // doing real work (>= 4 tasks, max >= 500 ms — below that,
+      // scheduling jitter dominates and the ratio is noise).
+      val worst = durations.groupBy(_._1).values
+        .filter(st => st.length >= 4 && st.map(_._2).max >= 500L)
+        .map { st =>
+          val s = st.map(_._2).sorted
+          s.last.toDouble / math.max(1L, s(s.length / 2))
+        }
+      val stageSkew = if (worst.isEmpty) 1.0 else worst.max
       s"""{"sec":${jfmt(sec, "%.3f")},"tasks":${ds.length},"failed_tasks":$failed,""" +
         s""""shuffle_read_mb":${jfmt(shuffleRead / 1048576.0, "%.2f")},""" +
         s""""shuffle_write_mb":${jfmt(shuffleWrite / 1048576.0, "%.2f")},""" +
         s""""spill_mem_mb":${jfmt(memSpill / 1048576.0, "%.2f")},""" +
         s""""spill_disk_mb":${jfmt(diskSpill / 1048576.0, "%.2f")},""" +
-        s""""task_p50_ms":$p50,"task_max_ms":$max,"task_skew":${jfmt(skew, "%.2f")}}"""
+        s""""task_p50_ms":$p50,"task_max_ms":$max,""" +
+        s""""stage_skew":${jfmt(stageSkew, "%.2f")}}"""
     }
   }
 
@@ -107,13 +120,14 @@ object ScaleEvidence {
         val out = argMap("--out")
         val nDocs = argMap.getOrElse("--docs", "50000").toLong
         val nVecs = argMap.getOrElse("--vecs", "20000").toLong
+        val hot = argMap.getOrElse("--hot-permille", "0").toInt
         if (Files.exists(Paths.get(out))) {
           // same doctrine as ScalingBench: a silent skip mislabels evidence
           System.err.println(s"[scale] corpus at $out exists — REUSING; " +
             s"--docs $nDocs/--vecs $nVecs NOT applied (delete to regenerate)")
         } else {
           val spark = session(Runtime.getRuntime.availableProcessors())
-          try DocCorpusGen.write(spark, out, seed = 42L, nDocs, nVecs)
+          try DocCorpusGen.write(spark, out, seed = 42L, nDocs, nVecs, hot)
           finally spark.stop()
         }
 

@@ -97,9 +97,23 @@ object DocCorpusGen {
   /** Final token stream: base, or a mutated near-copy of an EARLIER
     * document's base stream (never of its final stream — that keeps this
     * non-recursive and clusters small), plus an optional boilerplate
-    * splice. */
-  def tokensFor(seed: Long, id: Long, nDocs: Long): Array[String] = {
+    * splice.
+    *
+    * `hotPermille` > 0 additionally makes that fraction (per mille) of
+    * documents mutated near-copies of doc 0 — ONE giant near-dup cluster,
+    * the Zipf-hotspot stress for the CC/candidate-join paths (VERDICT r4
+    * next #8). 0 (the default) leaves existing corpora byte-identical. */
+  def tokensFor(seed: Long, id: Long, nDocs: Long, hotPermille: Int = 0): Array[String] = {
     val vocab = vocabSize(nDocs)
+    if (hotPermille > 0 && id > 0 && pick(seed, s"d:$id:hot", 1000) < hotPermille) {
+      val base = baseTokens(seed, 0L, vocab)
+      val rate = pick(seed, s"d:$id:hrate", 11)
+      return base.zipWithIndex.map { case (w, t) =>
+        if (rate > 0 && pick(seed, s"d:$id:hm$t", 100) < rate)
+          word(zipfRank(seed, s"d:$id:hw$t", vocab))
+        else w
+      }
+    }
     val toks0 =
       if (id > 20 && pick(seed, s"d:$id:dup", 100) < 5) {
         val back = 1 + pick(seed, s"d:$id:base", math.min(id, 1000L).toInt)
@@ -120,8 +134,8 @@ object DocCorpusGen {
     } else toks0
   }
 
-  def doc(seed: Long, id: Long, nDocs: Long): Doc = {
-    val text = tokensFor(seed, id, nDocs).mkString(" ")
+  def doc(seed: Long, id: Long, nDocs: Long, hotPermille: Int = 0): Doc = {
+    val text = tokensFor(seed, id, nDocs, hotPermille).mkString(" ")
     Doc(id, text, "en", "src" + (id % 20), text.length.toLong)
   }
 
@@ -156,11 +170,12 @@ object DocCorpusGen {
     Emb(id, v, label)
   }
 
-  def generateDocs(spark: SparkSession, seed: Long, nDocs: Long): Dataset[Doc] = {
+  def generateDocs(spark: SparkSession, seed: Long, nDocs: Long,
+      hotPermille: Int = 0): Dataset[Doc] = {
     import spark.implicits._
     spark.range(nDocs)
       .repartition(spark.sparkContext.defaultParallelism)
-      .map(i => doc(seed, i, nDocs))
+      .map(i => doc(seed, i, nDocs, hotPermille))
   }
 
   def generateEmbs(spark: SparkSession, seed: Long, nVecs: Long): Dataset[Emb] = {
@@ -173,8 +188,8 @@ object DocCorpusGen {
   /** Write a SparkEntry-compatible directory: documents.parquet +
     * embeddings.parquet. */
   def write(spark: SparkSession, dir: String, seed: Long,
-      nDocs: Long, nVecs: Long): Unit = {
-    generateDocs(spark, seed, nDocs)
+      nDocs: Long, nVecs: Long, hotPermille: Int = 0): Unit = {
+    generateDocs(spark, seed, nDocs, hotPermille)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     generateEmbs(spark, seed, nVecs)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
