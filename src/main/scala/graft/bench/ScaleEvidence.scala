@@ -162,6 +162,41 @@ object ScaleEvidence {
           }
         } finally spark.stop()
 
+      // embedding near-dup at a chosen SRP width: the driver query pins
+      // srpBits=12, which saturates once bucket population ~ cluster
+      // size (the r5 M=100 run: 400k clustered vectors made 12-bit
+      // buckets quadratic and the JVM died) — the scale path grows
+      // srpBits with log2(n), and this mode measures it.
+      case Some("embed") =>
+        val dir = argMap("--dir")
+        val bits = argMap.getOrElse("--srp-bits", "20").toInt
+        val cores = argMap.getOrElse("--cores", "32").toInt
+        val spark = session(cores)
+        val collector = new Collector
+        spark.sparkContext.addSparkListener(collector)
+        try {
+          import org.apache.spark.sql.{functions => F}
+          val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+          val jittered = embs.select((F.col("vec_id") + 100000000L).as("vec_id"),
+            F.transform(F.col("embedding"), x => x * F.lit(1.0001f)).as("embedding"))
+          val corpus = embs.select(F.col("vec_id"), F.col("embedding"))
+            .unionAll(jittered)
+          collector.reset()
+          val t0 = System.nanoTime()
+          val rows = graft.ops.Dedup.embeddingDupPairs(
+            corpus, "vec_id", "embedding", threshold = 0.999, srpBits = bits).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          collector.drain()
+          val line = s"""{"query":"embedding_near_dups_srp$bits","dir":"$dir",""" +
+            s""""cores":$cores,"rows":$rows,"cold":${collector.json(sec)}}"""
+          // scalastyle:off println
+          println(line)
+          // scalastyle:on println
+          argMap.get("--json").foreach(p =>
+            Files.write(Paths.get(p), (line + "\n").getBytes("UTF-8"),
+              StandardOpenOption.CREATE, StandardOpenOption.APPEND))
+        } finally spark.stop()
+
       // BPE trainer at a realistic vocabulary scale (VERDICT r4 next #5):
       // wall time, merges produced, and driver RSS at the word-freq cap —
       // the one driver-heavy loop in main, so its memory footprint is
@@ -192,7 +227,7 @@ object ScaleEvidence {
               StandardOpenOption.CREATE, StandardOpenOption.APPEND))
         } finally spark.stop()
 
-      case other => sys.error(s"--mode must be gen|run|bpe, got $other")
+      case other => sys.error(s"--mode must be gen|run|embed|bpe, got $other")
     }
   }
 }
