@@ -68,13 +68,22 @@ object DocCorpusGen {
     sb.toString
   }
 
-  /** Zipf(s=1.07)-ish rank draw over [0, vocab) by inverse-CDF on a
-    * uniform double; the approximation rank = floor(vocab^u)-1 for
-    * u ~ U(0,1) gives a heavy head and a long tail without a per-call
-    * harmonic-number table (exactness is irrelevant here — only the
-    * *shape* matters, and it is deterministic). */
+  /** Zipf-ish rank draw over [0, vocab) by inverse-CDF on a uniform
+    * double; the approximation rank = floor(vocab^u)-1 for u ~ U(0,1)
+    * gives a heavy head and a long tail (log-uniform ≈ Zipf s=1) without
+    * a per-call harmonic-number table (exactness is irrelevant here —
+    * only the *shape* matters, and it is deterministic).
+    *
+    * The raw murmur draw MUST be avalanched before its top bits are
+    * used: the reference's murmur2-64 variant ends `h ^= h >> 47` with a
+    * SIGNED shift, which XORs the sign bit with itself — bit 63 is
+    * structurally 0 (a 63-bit hash). Consuming `draw >>> 11` directly
+    * capped u below 0.5 and silently shrank the effective vocabulary to
+    * sqrt(vocab) (caught when a 10k-word corpus exhausted BPE training at
+    * 488 merges). Same reason HllSketch.updateHash fmix64s its codes. */
   @inline private def zipfRank(seed: Long, key: String, vocab: Int): Int = {
-    val u = (draw(seed, key) >>> 11).toDouble / (1L << 53).toDouble
+    val h = graft.sketch.HllSketch.fmix64(draw(seed, key))
+    val u = (h >>> 11).toDouble / (1L << 53).toDouble
     val r = math.pow(vocab.toDouble, u) - 1.0
     math.min(vocab - 1, r.toInt)
   }
