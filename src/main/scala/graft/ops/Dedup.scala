@@ -270,12 +270,15 @@ object Dedup {
           .as(Seq("__band", "__bucket")))
 
     // bucket-join on ids; candidate pair count is O(near-dups), tiny
-    // relative to the corpus
-    val left = banded.select(F.col("__band"), F.col("__bucket"), F.col(idCol).as("id_a"))
-    val right = banded.select(F.col("__band"), F.col("__bucket"), F.col(idCol).as("id_b"))
-    val candidateIds = left.join(right, Seq("__band", "__bucket"))
+    // relative to the corpus. Skew-immune: a giant near-dup cluster's
+    // shared buckets are grid-spread instead of handed to one reducer
+    // (SkewJoin; the probeAll regime — deliberately one bucket — rides
+    // the same grid, unchanged output)
+    val candidateIds = SkewJoin.selfPairsWithinGroups(
+        banded.select(F.col("__band"), F.col("__bucket"), F.col(idCol)),
+        Seq("__band", "__bucket"), forceGrid = probeAll)
+      .select(F.col(s"__l.$idCol").as("id_a"), F.col(s"__r.$idCol").as("id_b"))
       .filter(F.col("id_a") < F.col("id_b"))
-      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
     // fetch text only for candidates, then exact-verify
@@ -416,11 +419,18 @@ object Dedup {
     // candidates — the exact verify rejects them
     val needOverlap = F.ceil(F.lit(threshold / (1.0 + threshold)) *
       (F.col("__sza") + F.col("__szb")).cast("double") - F.lit(1e-9))
-    val cand = prefix
-      .select(F.col("__tok"), F.col("__id").as("id_a"),
-        F.col("__sz").as("__sza"), F.col("__p").as("__pa"))
-      .join(prefix.select(F.col("__tok"), F.col("__id").as("id_b"),
-        F.col("__sz").as("__szb"), F.col("__p").as("__pb")), Seq("__tok"))
+    // skew-immune prefix self-join: a boilerplate cluster shares its
+    // whole rarity prefix, so each of those ~|prefix| hot shingle keys
+    // would otherwise generate the full cluster-quadratic pair set on a
+    // single reducer (measured 186 s single task on the r5 hotspot
+    // corpus); SkewJoin grid-spreads exactly those keys
+    val cand = SkewJoin.selfPairsWithinGroups(
+        prefix.select(F.col("__tok"), F.col("__id"), F.col("__sz"), F.col("__p")),
+        Seq("__tok"))
+      .select(F.col("__l.__id").as("id_a"),
+        F.col("__l.__sz").as("__sza"), F.col("__l.__p").as("__pa"),
+        F.col("__r.__id").as("id_b"),
+        F.col("__r.__sz").as("__szb"), F.col("__r.__p").as("__pb"))
       .filter(F.col("id_a") < F.col("id_b"))
       // size pruning: Jaccard >= t forces min >= t·max
       .filter(F.least(F.col("__sza"), F.col("__szb")).cast("double") >=
@@ -596,11 +606,11 @@ object Dedup {
           F.posexplode(F.array((0 until 4).map(b =>
             F.shiftright(F.col("__sim"), b * 16).bitwiseAND(F.lit(0xffffL))): _*))
             .as(Seq("__band", "__bucket")))
-    val left = banded.select(F.col("__band"), F.col("__bucket"),
-      F.col(idCol).as("id_a"), F.col("__sim").as("sim_a"))
-    val right = banded.select(F.col("__band"), F.col("__bucket"),
-      F.col(idCol).as("id_b"), F.col("__sim").as("sim_b"))
-    left.join(right, Seq("__band", "__bucket"))
+    SkewJoin.selfPairsWithinGroups(
+        banded.select(F.col("__band"), F.col("__bucket"), F.col(idCol), F.col("__sim")),
+        Seq("__band", "__bucket"), forceGrid = probeAll)
+      .select(F.col(s"__l.$idCol").as("id_a"), F.col("__l.__sim").as("sim_a"),
+        F.col(s"__r.$idCol").as("id_b"), F.col("__r.__sim").as("sim_b"))
       .filter(F.col("id_a") < F.col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
@@ -621,11 +631,10 @@ object Dedup {
     // the SRP bucket join never shuffles embeddings
     val sig = df.select(F.col(idCol),
       Similarity.srpSignature(F.col(vecCol), srpBits).as("__srp"))
-    val left = sig.select(F.col("__srp"), F.col(idCol).as("id_a"))
-    val right = sig.select(F.col("__srp"), F.col(idCol).as("id_b"))
-    val candidateIds = left.join(right, Seq("__srp"))
+    val candidateIds = SkewJoin.selfPairsWithinGroups(
+        sig.select(F.col("__srp"), F.col(idCol)), Seq("__srp"))
+      .select(F.col(s"__l.$idCol").as("id_a"), F.col(s"__r.$idCol").as("id_b"))
       .filter(F.col("id_a") < F.col("id_b"))
-      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
     val vecsA = df.select(F.col(idCol).as("id_a"), F.col(vecCol).as("va"))
     val vecsB = df.select(F.col(idCol).as("id_b"), F.col(vecCol).as("vb"))

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+/** Skew-immune within-group self-pairing — the candidate-generation
+  * primitive every LSH/prefix dedup family shares.
+  *
+  * A plain self-join on the group key routes ALL pair generation for one
+  * group through one join key: a 1,000-member near-dup cluster (one
+  * boilerplate page crawled 1,000 times — the r5 hotspot corpus) becomes
+  * a single ~500k-pair reducer task while every other task finishes in
+  * milliseconds (measured: one 186 s task inside a 254 s query,
+  * within-stage skew 17x). The pairs are real output — no filter removes
+  * them — so the only fix is to SPREAD their generation.
+  *
+  * Standard B x B bucket grid: members of a hot group are hashed into B
+  * buckets; a member in bucket g enters the join as the LEFT side of
+  * every grid cell (g, j), j in [0, B), and as the RIGHT side of every
+  * cell (i, g), i in [0, B). An ordered pair with buckets (ga, gb) meets
+  * in exactly the cell (ga, gb) — so the output is the IDENTICAL multiset
+  * of ordered pairs (self-pairs and both orders included) a plain
+  * self-join produces, and callers keep their usual `id_a < id_b`
+  * post-filter unchanged. Per-member replication is B rows per side;
+  * per-cell pair work drops from n^2 to (n/B)^2 — the worst task shrinks
+  * by B^2 for a B-factor volume of (key, id)-sized rows, the classic
+  * skew trade.
+  *
+  * Group populations are counted in one map-side-combined pass over
+  * (key) rows; only groups above `hotThreshold` (broadcast — there are
+  * at most |rows|/hotThreshold of them) take the grid path, everything
+  * else takes the plain join untouched.
+  */
+object SkewJoin {
+
+  /** All within-group ordered pairs of `df`'s rows. Output columns:
+    * `keyCols` ++ (`__l`, `__r`) — each side's non-key columns packed as
+    * a struct. Semantically identical (same multiset of ordered pairs)
+    * to `df.join(df, keyCols)`; hot groups are grid-spread.
+    *
+    * `hotThreshold` must exceed 1; `maxBuckets` caps the grid so the
+    * replication factor stays bounded. Rows with a null in any key
+    * column never pair (join semantics on both paths).
+    *
+    * `forceGrid` sends EVERY group through the grid (B = 1 for small
+    * ones) and omits the plain-join branch entirely. Required when the
+    * group key is a CONSTANT (the probeAll exact-oracle regimes):
+    * Catalyst folds a constant-key equi-join into a cartesian, which the
+    * plan audit rightly bans — the grid's bucket columns are computed
+    * from the row, so the join keeps real equi-join keys. */
+  def selfPairsWithinGroups(
+      df: DataFrame,
+      keyCols: Seq[String],
+      hotThreshold: Int = 256,
+      maxBuckets: Int = 64,
+      forceGrid: Boolean = false): DataFrame = {
+    require(keyCols.nonEmpty, "at least one group key column")
+    require(hotThreshold > 1, "hotThreshold must be > 1")
+    require(maxBuckets >= 2, "maxBuckets must be >= 2")
+    val keys: Seq[Column] = keyCols.map(F.col)
+    val others = df.columns.filterNot(keyCols.contains)
+    require(others.nonEmpty, "df needs at least one non-key column")
+    val packed = df.select(keys :+ F.struct(others.map(F.col): _*).as("__e"): _*)
+
+    // one cheap counting pass (map-side combined; carries keys + a long)
+    val counted = packed.groupBy(keys: _*)
+      .agg(F.count(F.lit(1)).as("__n"))
+    val hot = (if (forceGrid) counted else counted.filter(F.col("__n") > hotThreshold))
+      .select(keys :+ F.greatest(F.lit(1), F.least(
+        F.ceil(F.col("__n").cast("double") / hotThreshold).cast("int"),
+        F.lit(maxBuckets))).as("__b"): _*)
+
+    val tagged = packed.join(F.broadcast(hot), keyCols, "left")
+    lazy val cold = tagged.filter(F.col("__b").isNull).drop("__b")
+    lazy val coldPairs = cold.select(keys :+ F.col("__e").as("__l"): _*)
+      .join(cold.select(keys :+ F.col("__e").as("__r"): _*), keyCols)
+
+    // deterministic bucket: hash of the packed element (stable under
+    // retries), folded into [0, B)
+    val hotRows = (if (forceGrid) tagged else tagged.filter(F.col("__b").isNotNull))
+      .withColumn("__g",
+        F.pmod(F.xxhash64(F.col("__e")), F.col("__b").cast("long")).cast("int"))
+    val leftH = hotRows.select(
+      keys ++ Seq(F.col("__g").as("__k1"),
+        F.explode(F.sequence(F.lit(0), F.col("__b") - 1)).as("__k2"),
+        F.col("__e").as("__l")): _*)
+    val rightH = hotRows.select(
+      keys ++ Seq(F.explode(F.sequence(F.lit(0), F.col("__b") - 1)).as("__k1"),
+        F.col("__g").as("__k2"),
+        F.col("__e").as("__r")): _*)
+    val hotPairs = leftH.join(rightH, keyCols ++ Seq("__k1", "__k2"))
+      .drop("__k1", "__k2")
+
+    if (forceGrid) hotPairs else coldPairs.unionByName(hotPairs)
+  }
+}
