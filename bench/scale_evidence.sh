@@ -26,6 +26,8 @@ for M in ${MULTS:-1 10}; do
   run --mode gen --out "$ROOT/m$M" --docs $((5000 * M)) --vecs $((2000 * M))
 done
 for M in ${MULTS:-1 10}; do
-  run --mode run --dir "$ROOT/m$M" --cores "$CORES" --queries "$QUERIES" --json "$JSON" 2>/dev/null
+  # stderr to a per-level log, NOT /dev/null: under set -e a failing
+  # query would otherwise abort the run with the diagnostic discarded
+  run --mode run --dir "$ROOT/m$M" --cores "$CORES" --queries "$QUERIES" --json "$JSON" 2>"$ROOT/m$M.err"
 done
 echo "wrote $JSON"

@@ -254,10 +254,14 @@ object SparkEntry {
         F.lit(86400.0)).cast("int")
       // guard: shiftleft wraps its shift mod 64 in Spark but not in
       // DuckDB, so a fixture timestamp outside the [0,40]-day window
-      // would diverge SILENTLY — fail loudly in both engines instead
-      val kGuarded = F.when(k.between(0, 40), k).otherwise(F.raise_error(
-        F.concat(F.lit("decayed_event_counts: k outside [0,40]: "),
-          k.cast("string"))))
+      // would diverge SILENTLY — fail loudly in both engines instead.
+      // A null ts passes through (null weight, sum skips it) exactly as
+      // before the guard — only a NON-null out-of-range k is an error
+      val kGuarded = F.when(k.isNull, F.lit(null).cast("int"))
+        .when(k.between(0, 40), k)
+        .otherwise(F.raise_error(
+          F.concat(F.lit("decayed_event_counts: k outside [0,40]: "),
+            k.cast("string"))))
       ev.select(F.col("event_type"), kGuarded.as("__k"))
         .withColumn("__w", F.expr("shiftleft(CAST(1 AS BIGINT), 40 - __k)"))
         .groupBy(F.col("event_type"))
@@ -1670,9 +1674,16 @@ object SparkEntry {
     // are all plain SQL. Closes the deterministic half of
     // doc_text_analysis's no_oracle row (simhash/fingerprint stay
     // murmur-valued, golden-pinned).
+    // regime charset: printable ASCII + the whitespace both engines
+    // agree on. Java's String.trim strips every char <= U+0020 and its
+    // \s is [ \t\n\x0B\f\r]; RE2's \s is [ \t\n\f\r] and DuckDB's trim
+    // strips only spaces — so \x0B and the C0 controls are excluded,
+    // making "non-empty \s+-separated tokens" provably identical on
+    // both sides (the oracle tokenizes the RAW text and drops empties,
+    // which equals Java trim+split over this charset).
     "lang_id_exact" -> ((s, dir) => {
       val docs = read(s, dir, "documents")
-        .filter(F.col("text").rlike("^[\\x00-\\x7F]*$"))
+        .filter(F.col("text").rlike("^[\\x20-\\x7E\\t\\n\\f\\r]*$"))
       docs.select(F.col("doc_id"),
         TextAnalysis.lang_id(F.col("text")).as("lang_pred"))
         .orderBy("doc_id")
@@ -2922,11 +2933,10 @@ object SparkEntry {
     // ASCII-filtered slice.
     "lang_id_exact" ->
       """WITH d AS (SELECT doc_id, text FROM documents
-        |           WHERE regexp_matches(text, '^[\x00-\x7F]*$')),
+        |           WHERE regexp_matches(text, '^[\x20-\x7E\t\n\f\r]*$')),
         |t AS (SELECT doc_id,
-        |        CASE WHEN length(trim(text)) = 0 THEN 0
-        |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n,
-        |        regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |        len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n,
+        |        list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
         |      FROM d),
         |s AS (SELECT doc_id, n,
         |  len(list_filter(toks, x -> list_contains(['the','of','and','to','in','is','it','that','for','was','with','are','this','you','not'], x))) AS h_en,
@@ -2958,7 +2968,8 @@ object SparkEntry {
       """WITH e0 AS (SELECT event_type,
         |  CAST(floor((1706745600 - floor(epoch(ts))) / 86400.0) AS INT) AS k0
         |  FROM events),
-        |e AS (SELECT event_type, CASE WHEN k0 BETWEEN 0 AND 40 THEN k0
+        |e AS (SELECT event_type, CASE WHEN k0 IS NULL THEN NULL
+        |  WHEN k0 BETWEEN 0 AND 40 THEN k0
         |  ELSE CAST(error('decayed_event_counts: k outside [0,40]: ' || k0) AS INT)
         |  END AS k FROM e0)
         |SELECT event_type, count(*) AS n_events,

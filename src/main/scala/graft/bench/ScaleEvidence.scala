@@ -58,17 +58,31 @@ object ScaleEvidence {
       memSpill = 0L; diskSpill = 0L; failed = 0
     }
 
+    /** True when any drain since the last CLEAN drain timed out — the
+      * pass boundary is then unreliable and the numbers say so. NOT
+      * cleared by reset(): a dirty pre-pass drain taints the pass that
+      * follows it. */
+    @volatile var drainDirty = false
+
     /** The listener bus is async — wait until the task count is stable
-      * so a pass's tail events are not charged to the next pass. */
+      * so a pass's tail events are not charged to the next pass. A
+      * timed-out wait marks the collector dirty instead of giving up
+      * silently (the cap exists only to survive a wedged bus). */
     def drain(): Unit = {
       var last = -1
       var stable = 0
       var spins = 0
-      while (stable < 2 && spins < 40) {
+      while (stable < 3 && spins < 600) {
         val n = synchronized(durations.length)
         if (n == last) stable += 1 else { stable = 0; last = n }
         Thread.sleep(100)
         spins += 1
+      }
+      if (stable >= 3) drainDirty = false
+      else {
+        drainDirty = true
+        System.err.println("[scale] WARN: listener bus still busy after " +
+          "60 s — pass boundary unreliable, marking drain_clean=false")
       }
     }
 
@@ -95,7 +109,7 @@ object ScaleEvidence {
         s""""spill_mem_mb":${jfmt(memSpill / 1048576.0, "%.2f")},""" +
         s""""spill_disk_mb":${jfmt(diskSpill / 1048576.0, "%.2f")},""" +
         s""""task_p50_ms":$p50,"task_max_ms":$max,""" +
-        s""""stage_skew":${jfmt(stageSkew, "%.2f")}}"""
+        s""""stage_skew":${jfmt(stageSkew, "%.2f")},"drain_clean":${!drainDirty}}"""
     }
   }
 

@@ -148,14 +148,31 @@ object DocCorpusGen {
     Doc(id, text, "en", "src" + (id % 20), text.length.toLong)
   }
 
+  /** The resolved NON-dup base id when `id` is a planted near-copy,
+    * None for a base row. Follows the redirection chain to a non-dup
+    * row: a dup whose drawn base is itself a dup would otherwise jitter
+    * a vector no row stores (row b stores base(b's own base), not
+    * base(b)) — an orphan plant with no cos>0.999 partner, ~0.16% of
+    * rows. Chains shrink strictly (b < id), stop at id <= 20, expected
+    * length 1/(1-0.04). */
+  private[data] def embBase(seed: Long, id: Long): Option[Long] =
+    if (id > 20 && pick(seed, s"e:$id:dup", 100) < 4) {
+      var b = id - 1 - pick(seed, s"e:$id:base", math.min(id, 1000L).toInt)
+      while (b > 20 && pick(seed, s"e:$b:dup", 100) < 4)
+        b = b - 1 - pick(seed, s"e:$b:base", math.min(b, 1000L).toInt)
+      Some(b)
+    } else None
+
   /** 64-dim unit embedding around one of 16 centroids; ~4% are jittered
-    * near-copies of an earlier vector (cosine > 0.999 by construction:
-    * jitter magnitude 1e-4 per component on a unit vector). */
+    * near-copies of an earlier BASE vector (cosine > 0.999 by
+    * construction: jitter magnitude 1e-4 per component on a unit
+    * vector; [[embBase]] guarantees the referenced row stores the base
+    * exactly, so every plant has a real partner). */
   def emb(seed: Long, id: Long): Emb = {
-    val (baseId, jitter) =
-      if (id > 20 && pick(seed, s"e:$id:dup", 100) < 4)
-        (id - 1 - pick(seed, s"e:$id:base", math.min(id, 1000L).toInt), true)
-      else (id, false)
+    val (baseId, jitter) = embBase(seed, id) match {
+      case Some(b) => (b, true)
+      case None => (id, false)
+    }
     val label = pick(seed, s"e:$baseId:lab", 16)
     val v = new Array[Float](64)
     var norm = 0.0

@@ -26,9 +26,11 @@ import org.apache.spark.sql.{Column, DataFrame, functions => F}
   * skew trade.
   *
   * Group populations are counted in one map-side-combined pass over
-  * (key) rows; only groups above `hotThreshold` (broadcast — there are
-  * at most |rows|/hotThreshold of them) take the grid path, everything
-  * else takes the plain join untouched.
+  * (key) rows; only groups above `hotThreshold` take the grid path
+  * (there are at most |rows|/hotThreshold of them — AQE broadcasts the
+  * hot-group table when it is small, the common case, and falls back
+  * to a shuffled tag-attach join when the census itself is huge),
+  * everything else takes the plain join untouched.
   */
 object SkewJoin {
 
@@ -69,7 +71,16 @@ object SkewJoin {
         F.ceil(F.col("__n").cast("double") / hotThreshold).cast("int"),
         F.lit(maxBuckets))).as("__b"): _*)
 
-    val tagged = packed.join(F.broadcast(hot), keyCols, "left")
+    // NO forced broadcast hint: `hot` is usually a handful of rows and
+    // AQE's runtime stats pick a broadcast join on their own, but its
+    // worst case is O(|groups over hotThreshold|) — on a corpus where a
+    // large fraction of buckets run hot (the very data this primitive
+    // targets) a forced broadcast would hit the 8 GB broadcast wall /
+    // driver OOM before the skew fix ever ran. Letting AQE decide
+    // degrades that case to a shuffled tag-attach join (n rows, not
+    // n^2 pairs — a 1,000-member group is 1,000 rows in one task),
+    // which is correct and bounded.
+    val tagged = packed.join(hot, keyCols, "left")
     lazy val cold = tagged.filter(F.col("__b").isNull).drop("__b")
     lazy val coldPairs = cold.select(keys :+ F.col("__e").as("__l"): _*)
       .join(cold.select(keys :+ F.col("__e").as("__r"): _*), keyCols)

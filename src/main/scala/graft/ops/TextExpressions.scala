@@ -191,7 +191,8 @@ object TextOps {
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < toks.length) {
-      h = h * 0x100000001b3L + Murmur2Kernel.hash64(toks(i).toLowerCase)
+      h = h * 0x100000001b3L + Murmur2Kernel.hash64(
+        toks(i).toLowerCase(java.util.Locale.ROOT))
       i += 1
     }
     h
@@ -232,7 +233,9 @@ object TextOps {
       i += 1
     }
     if (total > 0 && cjk.toDouble / total > 0.25) return "zh"
-    val toks = tokens(s.toLowerCase)
+    // Locale.ROOT: the default-locale overload turns "IS" into "ıs"
+    // under a Turkish JVM locale — results must not depend on the host
+    val toks = tokens(s.toLowerCase(java.util.Locale.ROOT))
     if (toks.isEmpty) return "und"
     var best = "und"
     var bestScore = 0.0

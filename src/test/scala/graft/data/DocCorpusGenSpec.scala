@@ -75,4 +75,32 @@ class DocCorpusGenSpec extends AnyFunSuite {
       assert(n > 0.99 && n < 1.01, s"vec ${e.vec_id} norm $n")
     }
   }
+
+  test("EVERY planted embedding dup has a stored partner above the gate") {
+    // REGRESSION for the orphan-plant hole: before embBase resolved the
+    // redirection chain, a dup whose drawn base was itself a dup
+    // jittered a vector no row stores — the documented "~4% planted
+    // near-copies" density silently excluded those (~0.16% of rows).
+    // Post-fix the guarantee is universal: for every dup id, the
+    // resolved base row stores the base vector exactly, so
+    // cos(emb(id), emb(base)) > 0.999 with no exception.
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    var dups = 0
+    (21L until 4000L).foreach { id =>
+      DocCorpusGen.embBase(42L, id).foreach { base =>
+        dups += 1
+        assert(DocCorpusGen.embBase(42L, base).isEmpty,
+          s"resolved base $base of $id is itself a dup — chain not followed")
+        val c = cos(DocCorpusGen.emb(42L, id).embedding,
+          DocCorpusGen.emb(42L, base).embedding)
+        assert(c > 0.999, s"planted dup $id vs base $base: cos $c")
+      }
+    }
+    // ~4% of 3,979 ids — the density the docstring claims
+    assert(dups > 100 && dups < 260, s"dup count $dups outside the ~4% band")
+  }
 }
