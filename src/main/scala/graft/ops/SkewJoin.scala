@@ -27,10 +27,8 @@ import org.apache.spark.sql.{Column, DataFrame, functions => F}
   *
   * Group populations are counted in one map-side-combined pass over
   * (key) rows; only groups above `hotThreshold` take the grid path
-  * (there are at most |rows|/hotThreshold of them — AQE broadcasts the
-  * hot-group table when it is small, the common case, and falls back
-  * to a shuffled tag-attach join when the census itself is huge),
-  * everything else takes the plain join untouched.
+  * (there are at most |rows|/hotThreshold of them), everything else
+  * takes the plain join untouched.
   */
 object SkewJoin {
 
@@ -48,13 +46,26 @@ object SkewJoin {
     * group key is a CONSTANT (the probeAll exact-oracle regimes):
     * Catalyst folds a constant-key equi-join into a cartesian, which the
     * plan audit rightly bans — the grid's bucket columns are computed
-    * from the row, so the join keeps real equi-join keys. */
+    * from the row, so the join keeps real equi-join keys.
+    *
+    * `broadcastCensus` (default true) hints the hot-group census into a
+    * broadcast join for the tag-attach. The census is keys + an int per
+    * HOT group — at most |rows|/hotThreshold rows and tiny in every
+    * measured regime — and the hint matters because callers persist the
+    * pair DAG: under an InMemoryRelation AQE either cannot re-plan the
+    * join (default config — measured 78 s cold / stage-skew 42 on the
+    * r5 hotspot corpus vs 20 s hinted) or re-plans at the cost of cache
+    * partitioning churn (canChangeCachedPlanOutputPartitioning=true —
+    * measured 61 s cold / 67 s warm). A corpus whose census itself
+    * approaches the 8 GB broadcast wall (~10^8+ hot groups) should pass
+    * false and take the shuffled tag-attach join instead. */
   def selfPairsWithinGroups(
       df: DataFrame,
       keyCols: Seq[String],
       hotThreshold: Int = 256,
       maxBuckets: Int = 64,
-      forceGrid: Boolean = false): DataFrame = {
+      forceGrid: Boolean = false,
+      broadcastCensus: Boolean = true): DataFrame = {
     require(keyCols.nonEmpty, "at least one group key column")
     require(hotThreshold > 1, "hotThreshold must be > 1")
     require(maxBuckets >= 2, "maxBuckets must be >= 2")
@@ -71,16 +82,16 @@ object SkewJoin {
         F.ceil(F.col("__n").cast("double") / hotThreshold).cast("int"),
         F.lit(maxBuckets))).as("__b"): _*)
 
-    // NO forced broadcast hint: `hot` is usually a handful of rows and
-    // AQE's runtime stats pick a broadcast join on their own, but its
-    // worst case is O(|groups over hotThreshold|) — on a corpus where a
-    // large fraction of buckets run hot (the very data this primitive
-    // targets) a forced broadcast would hit the 8 GB broadcast wall /
-    // driver OOM before the skew fix ever ran. Letting AQE decide
-    // degrades that case to a shuffled tag-attach join (n rows, not
-    // n^2 pairs — a 1,000-member group is 1,000 rows in one task),
-    // which is correct and bounded.
-    val tagged = packed.join(hot, keyCols, "left")
+    // The broadcast hint is NOT optional in the common case: callers
+    // persist the pair DAG, and a join under an InMemoryRelation is
+    // frozen before AQE's runtime stats could pick a broadcast (see the
+    // class doc's measured A/B). The census is bounded at
+    // |rows|/hotThreshold rows of keys+int; `broadcastCensus = false`
+    // is the escape hatch for a corpus where even that approaches the
+    // broadcast wall — the shuffled tag-attach join it degrades to is
+    // correct and bounded (n rows per group, not n^2 pairs).
+    val census = if (broadcastCensus) F.broadcast(hot) else hot
+    val tagged = packed.join(census, keyCols, "left")
     lazy val cold = tagged.filter(F.col("__b").isNull).drop("__b")
     lazy val coldPairs = cold.select(keys :+ F.col("__e").as("__l"): _*)
       .join(cold.select(keys :+ F.col("__e").as("__r"): _*), keyCols)
