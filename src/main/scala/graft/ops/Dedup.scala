@@ -307,9 +307,11 @@ object Dedup {
     * intersection element, and symmetrically for B. Joining prefixes is
     * therefore COMPLETE; the exact verification join makes it sound.
     *
-    * 100 TB shape: one shuffle keyed by shingle computes document
-    * frequency; prefixes carry only (shingle, id, size) — never text;
-    * the verification joins shingle lists for candidate pairs only, and
+    * 100 TB shape: one shuffle keyed by the 64-bit shingle identity hash
+    * computes document frequency; prefixes carry only (hash, id, size) —
+    * never text (shingle strings are never even materialized, see
+    * ngramPrefixCandidates); the verification joins hashed shingle
+    * arrays for candidate pairs only, and
     * the floating-point slack on the ceil only ever lengthens prefixes
     * (completeness is never rounding-dependent).
     *
@@ -366,28 +368,28 @@ object Dedup {
       positionalFilter: Boolean = true): (DataFrame, DataFrame) = {
     require(n >= 1, "shingle width must be >= 1")
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
-    // materialize the token array as a COLUMN before shingling —
-    // element_at over a raw split(...) expression would re-split the text
-    // for every lambda element (O(len^2) per document per consumer).
-    // Library-standard tokenization (Decontaminate.tokens: split on
-    // single space, DROP empties) — a bare split would build
-    // empty-token shingles on multi-space text and disagree with
-    // jaccard_shingles / minhashLshPairs on the same pair
-    val words = df.select(F.col(idCol).as("__id"),
-      Decontaminate.tokens(F.col(textCol)).as("__ws"))
-    // distinct word n-grams per document; single-space tokenization keeps
-    // the contract reproducible in plain SQL for oracle checking
-    val shingles = F.array_distinct(
-      F.when(F.size(F.col("__ws")) >= n,
-        F.transform(F.sequence(F.lit(1), F.size(F.col("__ws")) - (n - 1)), i =>
-          F.concat_ws(" ",
-            (0 until n).map(o => F.element_at(F.col("__ws"), i + F.lit(o))): _*)))
-        .otherwise(F.array().cast("array<string>")))
-    val toks = words.select(F.col("__id"), F.explode(shingles).as("__tok"))
+    // Shingle IDENTITY = 64-bit order-sensitive chain hash
+    // (TextOps.shingleHashes; Decontaminate-tokenization semantics, one
+    // codegen'd pass, distinct within the document) — never the shingle
+    // STRING. Everything downstream (frequency count, rarity sort,
+    // prefix join keys, the verify intersection) then moves 8-byte longs
+    // instead of ~30-byte strings: the r6 measurement put the string
+    // version's verify join at 7-10 s on the sf0.1 t=0.5 clustering
+    // input because every candidate row shipped two full shingle-string
+    // arrays; hashed arrays are ~4x narrower and hash/sort/intersect in
+    // long arithmetic (guide "shuffle fewer bytes / narrower types"). A
+    // 2^-64 identity collision merges two shingles — the SAME documented
+    // tradeoff exactDedup / lineDedup / duplicateSpans already accept by
+    // default; the output pair set and jaccard values are unchanged
+    // absent such a collision (oracle-checked at every tested SF).
+    val toks = df.select(F.col(idCol).as("__id"),
+      F.explode(TextAnalysis.shingle_hashes(F.col(textCol), n)).as("__tok"))
 
     val freq = toks.groupBy("__tok").agg(F.count(F.lit(1)).as("__df"))
-    // ONE compact rarity-ordered shingle array per doc — (df asc, shingle
-    // asc) is the global total order the prefix lemma needs, and the array
+    // ONE compact rarity-ordered shingle array per doc — (df asc, hash
+    // asc) is the global total order the prefix lemma needs (ANY total
+    // order preserves completeness; the identity hash is as good a
+    // tie-break as the string and sorts in long compares), and the array
     // is bounded by the document's own size so collect_list carries no
     // skew beyond the document itself. Persisted because every downstream
     // consumer (both prefix sides of the self-join, both verify sides)

@@ -169,6 +169,72 @@ object TextOps {
     sig
   }
 
+  /** Distinct `width`-token shingle IDENTITY HASHES of `s` (Decontaminate
+    * tokenization: split on single space, drop empties), empty when the
+    * document has fewer than `width` tokens. A shingle's identity is the
+    * order-sensitive fmix64 chain of its per-token murmur hashes — the
+    * SAME construction [[minhashSignature]] and [[simhashNgram64]] use —
+    * so no shingle string is ever materialized: the prefix-filter dedup
+    * pipeline (Dedup.ngramPrefixCandidates) does all its frequency
+    * counting, rarity ordering and intersection arithmetic on 8-byte
+    * longs instead of ~30-byte strings. A 2^-64 identity collision would
+    * merge two shingles — the same documented tradeoff as
+    * [[graft.ops.Dedup.exactDedup]] / duplicateSpans' hash-only grams.
+    * Insertion-ordered distinct via an open-addressed long table (0 =
+    * empty; a zero hash is remapped, as in [[minhashSignature]]). */
+  def shingleHashes(s: String, width: Int): Array[Long] = {
+    // Decontaminate.tokens semantics: split on the single space char,
+    // drop empty segments (tabs/newlines stay inside tokens)
+    val toks = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      val len = s.length
+      while (i < len) {
+        var j = i
+        while (j < len && s.charAt(j) != ' ') j += 1
+        if (j > i) out += s.substring(i, j)
+        i = j + 1
+      }
+      out
+    }
+    val n = toks.length
+    if (n < width) return Array.emptyLongArray
+    val th = new Array[Long](n)
+    var t = 0
+    while (t < n) {
+      th(t) = Murmur2Kernel.hash64(ByteOps.utf8(toks(t)))
+      t += 1
+    }
+    val nShingles = n - width + 1
+    var cap = 4
+    while (cap < nShingles * 2) cap <<= 1
+    val table = new Array[Long](cap)
+    val mask = cap - 1
+    val out = new Array[Long](nShingles)
+    var m = 0
+    var start = 0
+    while (start < nShingles) {
+      var base = th(start)
+      var j = 1
+      while (j < width) {
+        base = graft.sketch.HllSketch.fmix64(base ^ (th(start + j) * 0xc4ceb9fe1a85ec53L))
+        j += 1
+      }
+      if (base == 0L) base = 0x1b873593L
+      var slot = ((base ^ (base >>> 32)).toInt) & mask
+      var state = 0
+      while (state == 0) {
+        val cur = table(slot)
+        if (cur == 0L) { table(slot) = base; state = 1 }
+        else if (cur == base) state = 2
+        else slot = (slot + 1) & mask
+      }
+      if (state == 1) { out(m) = base; m += 1 }
+      start += 1
+    }
+    if (m == out.length) out else java.util.Arrays.copyOf(out, m)
+  }
+
   def shingles(s: String, size: Int): Set[String] = {
     val toks = tokens(s)
     if (toks.length < size) toks.toSet
@@ -312,6 +378,27 @@ case class MinHashSig(child: Expression, numHashes: Int, shingleSize: Int)
     defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
   }
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** `shingle_hashes(text, width)` -> array<long>: distinct order-sensitive
+  * n-gram identity hashes (see TextOps.shingleHashes). */
+case class ShingleHashes(child: Expression, width: Int)
+    extends UnaryExpression with StringInOps {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (width < 1) TypeCheckResult.TypeCheckFailure(s"$prettyName width must be >= 1")
+    else checkStringIn(child.dataType, prettyName)
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hashes"
+  def compute(s: UTF8String): GenericArrayData =
+    new GenericArrayData(TextOps.shingleHashes(s.toString, width))
+  override protected def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHashExpr", this, classOf[ShingleHashes].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
 }
 
 /** `fingerprint64(text)` — rolling Karp-Rabin token fingerprint. */

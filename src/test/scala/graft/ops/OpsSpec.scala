@@ -16,6 +16,37 @@ class OpsSpec extends SparkTestBase {
   private lazy val docs = spark.read.parquet(s"$sf/documents.parquet").cache()
   private lazy val embs = spark.read.parquet(s"$sf/embeddings.parquet").cache()
 
+  test("TextOps.shingleHashes: identity semantics match string shingles") {
+    def stringShingles(s: String, n: Int): Seq[Seq[String]] = {
+      val toks = s.split(" ").filter(_.nonEmpty).toSeq
+      if (toks.length < n) Seq.empty
+      else toks.sliding(n).toSeq.distinct
+    }
+    val cases = Seq(
+      ("the quick brown fox jumps over the lazy dog", 3),
+      ("a b a b a b a b", 2), // heavy repetition -> distinct shrinks
+      ("one  two   three four", 3), // multi-space: empties dropped
+      ("short doc", 3), // below width -> empty
+      ("", 3), ("x", 1),
+      ("a b c a b c a b c d", 3))
+    cases.foreach { case (s, n) =>
+      val hashed = TextOps.shingleHashes(s, n)
+      val strings = stringShingles(s, n)
+      // distinct cardinality matches the string-shingle distinct set
+      assert(hashed.length === strings.length, s"input '$s' width $n")
+      // no duplicate hashes (distinctness enforced inside the kernel)
+      assert(hashed.toSet.size === hashed.length, s"input '$s' width $n")
+    }
+    // order sensitivity: permuted shingle != original
+    val h1 = TextOps.shingleHashes("a b c", 3)
+    val h2 = TextOps.shingleHashes("c b a", 3)
+    assert(h1.length === 1 && h2.length === 1 && h1(0) != h2(0))
+    // shared shingles hash identically across documents (join key contract)
+    val hA = TextOps.shingleHashes("alpha beta gamma delta", 3).toSet
+    val hB = TextOps.shingleHashes("alpha beta gamma epsilon", 3).toSet
+    assert(hA.intersect(hB).size === 1) // "alpha beta gamma"
+  }
+
   test("TextOps units: simhash locality, minhash accuracy, fingerprint order-sensitivity") {
     val a = "the quick brown fox jumps over the lazy dog again and again today"
     val b = "the quick brown fox jumps over the lazy dog again and again tomorrow"
