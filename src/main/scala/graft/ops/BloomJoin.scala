@@ -34,7 +34,16 @@ object BloomJoin {
 
   private def keySketch(small: DataFrame, smallKey: String, bitsPerItem: Int,
       kernel: String): Array[Byte] = {
-    val keys = small.select(F.col(smallKey)).na.drop().distinct()
+    val keys = small.select(F.col(smallKey)).na.drop()
+    // Size by the NON-distinct row count: one metadata-cheap count
+    // instead of a distinct exchange + count + re-scan (three passes over
+    // the build side, measured on incremental_dedup). Row count >=
+    // distinct count, so the sketch is at or above the mkblm
+    // bits-per-distinct-item target — FPR only ever IMPROVES — and
+    // re-putting a duplicate key sets the identical bits, so the sketch
+    // CONTENT doesn't need the distinct either. Join results are exact
+    // regardless of FPR (semi/anti re-verify), so sizing affects cost,
+    // never output.
     val n = math.max(128L, keys.count()) // floor keeps tiny builds valid (128 bitsets)
     keys.agg(bloom_sketch(F.col(smallKey), n, bitsPerItem, kernel))
       .head().getAs[Array[Byte]](0)

@@ -49,11 +49,21 @@ object Decontaminate {
   def overlapHits(corpus: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int = 13,
       bitsPerItem: Int = 16): DataFrame = {
+    // n-gram IDENTITY is the 64-bit chain hash (TextOps.shingleHashes —
+    // same per-document distinct set as wordNgrams, no gram string ever
+    // built), so the Bloom prefilter and the exact semi join both move
+    // 8-byte longs instead of ~50-byte n-gram strings for the corpus
+    // side — the side that is 100 TB in production. A 2^-64 identity
+    // collision could count one extra phantom overlap — the library's
+    // standard hash-identity tradeoff (exactDedup), and the oracle
+    // hash-matches at every tested SF.
     val bGrams = bench
-      .select(F.explode(wordNgrams(F.col(benchTextCol), n)).as("__g"))
+      .select(F.explode(
+        graft.ops.TextAnalysis.shingle_hashes(F.col(benchTextCol), n)).as("__g"))
       .distinct()
     val cGrams = corpus.select(F.col(idCol),
-      F.explode(wordNgrams(F.col(textCol), n)).as("__g"))
+      F.explode(
+        graft.ops.TextAnalysis.shingle_hashes(F.col(textCol), n)).as("__g"))
     // cGrams is distinct per (doc, gram) already: wordNgrams dedups
     // within the document, so count(*) counts distinct colliding grams
     BloomJoin.semi(cGrams, "__g", bGrams, "__g", bitsPerItem)

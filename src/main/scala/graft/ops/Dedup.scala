@@ -101,29 +101,38 @@ object Dedup {
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
       l: Int, verifyByText: Boolean = false): DataFrame = {
     require(l >= 1, "l must be >= 1")
+    // Default (hash-only) path: gram identity is the positional 64-bit
+    // chain hash (TextOps.gramHashes — one codegen pass, no gram STRING
+    // ever built; replacing the measured-hot array_join/slice string
+    // builder + murmur64-of-string with straight long arithmetic). Same
+    // 64-bit collision tradeoff as before — the identity was already
+    // hash-only; only the hash construction changed. verifyByText still
+    // builds gram strings: that mode exists precisely to carry the text.
+    lazy val hashedOnly = df.select(F.col(idCol).as("__id"),
+        F.posexplode(graft.ops.TextAnalysis.gram_hashes(F.col(textCol), l))
+          .as(Seq("__p", "__h")))
     val toks = Decontaminate.tokens(F.col(textCol))
-    // Build every (position, gram) struct inside ONE generator, with the
-    // token array bound to a lambda variable via the single-element
-    // outer transform — a plain `toks.as("__t")` alias gets re-inlined
-    // by CollapseProject into every gram row, re-tokenizing the full
-    // document once per position (measured 10x on this query). The
-    // sequence() guard matters: it DESCENDS for stop < start instead of
-    // returning empty.
-    val gramStructs = F.flatten(F.transform(F.array(toks), t =>
+    // (verify mode) Build every (position, gram) struct inside ONE
+    // generator, with the token array bound to a lambda variable via the
+    // single-element outer transform — a plain `toks.as("__t")` alias
+    // gets re-inlined by CollapseProject into every gram row,
+    // re-tokenizing the full document once per position (measured 10x on
+    // this query). The sequence() guard matters: it DESCENDS for
+    // stop < start instead of returning empty.
+    lazy val gramStructs = F.flatten(F.transform(F.array(toks), t =>
       F.when(F.size(t) >= l,
           F.transform(F.sequence(F.lit(0), F.size(t) - l), p =>
             F.struct(p.as("p"),
               F.array_join(F.slice(t, p + 1, F.lit(l)), " ").as("g"))))
         .otherwise(F.array().cast("array<struct<p:int,g:string>>"))))
-    val grams = df.select(F.col(idCol).as("__id"),
+    lazy val grams = df.select(F.col(idCol).as("__id"),
         F.explode(gramStructs).as("__pg"))
       .select(F.col("__id"), F.col("__pg.p").as("__p"),
         F.col("__pg.g").as("__g"))
     val hashed =
       if (verifyByText) grams.select(F.col("__id"), F.col("__p"),
         murmur64(F.col("__g")).as("__h"), F.col("__g"))
-      else grams.select(F.col("__id"), F.col("__p"),
-        murmur64(F.col("__g")).as("__h"))
+      else hashedOnly
     // verify mode must carry the gram TEXT through the semi-join too:
     // counting per (__h, __g) but then joining on __h alone would mark
     // a hash-colliding non-duplicated gram as duplicated — the exact

@@ -16,6 +16,8 @@ object TextAnalysis {
     column(MinHashSig(expression(c), numHashes, shingleSize))
   def shingle_hashes(c: Column, width: Int = 3): Column =
     column(ShingleHashes(expression(c), width))
+  def gram_hashes(c: Column, width: Int): Column =
+    column(GramHashes(expression(c), width))
   def fingerprint64(c: Column): Column = column(Fingerprint64(expression(c)))
   def lang_id(c: Column): Column = column(LangId(expression(c)))
   def jaccard_shingles(a: Column, b: Column, shingleSize: Int = 3): Column =

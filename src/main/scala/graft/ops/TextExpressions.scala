@@ -235,6 +235,48 @@ object TextOps {
     if (m == out.length) out else java.util.Arrays.copyOf(out, m)
   }
 
+  /** POSITIONAL `width`-token gram identity hashes: element p is the
+    * chain hash of the gram starting at token position p (0-based), one
+    * element per position, duplicates KEPT — the duplicateSpans shape,
+    * where position identity matters and repeats are the signal. Same
+    * tokenization and chain construction as [[shingleHashes]]; empty
+    * array when the document has fewer than `width` tokens. */
+  def gramHashes(s: String, width: Int): Array[Long] = {
+    val toks = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      val len = s.length
+      while (i < len) {
+        var j = i
+        while (j < len && s.charAt(j) != ' ') j += 1
+        if (j > i) out += s.substring(i, j)
+        i = j + 1
+      }
+      out
+    }
+    val n = toks.length
+    if (n < width) return Array.emptyLongArray
+    val th = new Array[Long](n)
+    var t = 0
+    while (t < n) {
+      th(t) = Murmur2Kernel.hash64(ByteOps.utf8(toks(t)))
+      t += 1
+    }
+    val out = new Array[Long](n - width + 1)
+    var start = 0
+    while (start < out.length) {
+      var base = th(start)
+      var j = 1
+      while (j < width) {
+        base = graft.sketch.HllSketch.fmix64(base ^ (th(start + j) * 0xc4ceb9fe1a85ec53L))
+        j += 1
+      }
+      out(start) = base
+      start += 1
+    }
+    out
+  }
+
   def shingles(s: String, size: Int): Set[String] = {
     val toks = tokens(s)
     if (toks.length < size) toks.toSet
@@ -399,6 +441,27 @@ case class ShingleHashes(child: Expression, width: Int)
     defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
   }
   override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+}
+
+/** `gram_hashes(text, width)` -> array<long>: positional n-gram identity
+  * hashes, one per token position, duplicates kept (TextOps.gramHashes). */
+case class GramHashes(child: Expression, width: Int)
+    extends UnaryExpression with StringInOps {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (width < 1) TypeCheckResult.TypeCheckFailure(s"$prettyName width must be >= 1")
+    else checkStringIn(child.dataType, prettyName)
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "gram_hashes"
+  def compute(s: UTF8String): GenericArrayData =
+    new GenericArrayData(TextOps.gramHashes(s.toString, width))
+  override protected def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramHashExpr", this, classOf[GramHashes].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): GramHashes = copy(child = c)
 }
 
 /** `fingerprint64(text)` — rolling Karp-Rabin token fingerprint. */

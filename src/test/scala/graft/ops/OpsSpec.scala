@@ -47,6 +47,20 @@ class OpsSpec extends SparkTestBase {
     assert(hA.intersect(hB).size === 1) // "alpha beta gamma"
   }
 
+  test("TextOps.gramHashes: positional semantics, duplicates kept") {
+    // 6 tokens, width 3 -> 4 positions; repeated gram repeats its hash
+    val h = TextOps.gramHashes("a b c a b c", 3)
+    assert(h.length === 4)
+    assert(h(0) === h(3)) // "a b c" at positions 0 and 3
+    assert(h.toSet.size === 3) // "a b c", "b c a", "c a b"
+    // positional hashes agree with the distinct set from shingleHashes
+    assert(h.toSet === TextOps.shingleHashes("a b c a b c", 3).toSet)
+    // below width -> empty; multi-space tokenization drops empties
+    assert(TextOps.gramHashes("a b", 3).isEmpty)
+    assert(TextOps.gramHashes("a  b   c", 3).toSeq ===
+      TextOps.gramHashes("a b c", 3).toSeq)
+  }
+
   test("TextOps units: simhash locality, minhash accuracy, fingerprint order-sensitivity") {
     val a = "the quick brown fox jumps over the lazy dog again and again today"
     val b = "the quick brown fox jumps over the lazy dog again and again tomorrow"
