@@ -33,9 +33,58 @@ object R6Probe {
     mode match {
       case "ngram" => ngramProbe(spark, sfDir, threshold = 0.5)
       case "ngram07" => ngramProbe(spark, sfDir, threshold = 0.7)
+      case "streaming" => streamingProbe(spark, sfDir)
       case _ => sys.error(s"unknown mode $mode")
     }
     spark.stop()
+  }
+
+  /** Split streaming_dedup-style cost into staging vs streaming-engine
+    * time (two runs each to see warm behavior). */
+  private def streamingProbe(spark: SparkSession, dir: String): Unit = {
+    Seq("4", "2", "1", "4", "2", "1").zipWithIndex.foreach { case (width, round) =>
+      val path = s"$dir/documents.parquet"
+      val staged = java.nio.file.Files.createTempDirectory("r6probe_sd")
+      t(s"[$width#$round] stage batch0 (copy)") {
+        java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+          staged.resolve("batch-0.parquet"))
+      }
+      val dupDir = java.nio.file.Files.createTempDirectory("r6probe_sd_dup")
+      t(s"[$width#$round] stage batch1 (shifted write)") {
+        spark.read.parquet(path)
+          .withColumn("doc_id", F.col("doc_id") + 1000000L)
+          .coalesce(1).write.mode("overwrite").parquet(dupDir.toString)
+        val l = java.nio.file.Files.list(dupDir)
+        val part =
+          try l.filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally l.close()
+        java.nio.file.Files.move(part, staged.resolve("batch-1.parquet"))
+      }
+      java.nio.file.Files.setLastModifiedTime(staged.resolve("batch-0.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(1600000000000L))
+      java.nio.file.Files.setLastModifiedTime(staged.resolve("batch-1.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(1600000060000L))
+      val schema = t(s"[$width#$round] schema read")(spark.read.parquet(path).schema)
+      val saved = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", width)
+      try {
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(staged.toString)
+        val name = s"r6sd_${width}_$round"
+        val q = t(s"[$width#$round] stream start") {
+          graft.ops.StreamingDedup.firstSeen(
+              stream.select(F.col("doc_id"), F.col("text")), "doc_id", "text")
+            .writeStream.outputMode("append").format("memory")
+            .queryName(name)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        }
+        t(s"[$width#$round] stream run (awaitTermination)")(q.awaitTermination())
+        t(s"[$width#$round] sink count")(spark.table(name).count())
+      } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    }
   }
 
   private def ngramProbe(spark: SparkSession, dir: String, threshold: Double): Unit = {

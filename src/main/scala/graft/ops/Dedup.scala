@@ -262,8 +262,27 @@ object Dedup {
       probeAll: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val sig = df.select(F.col(idCol),
+    // The signature table is consumed by every branch of the skew-spread
+    // bucket self-join below (census + two join sides per temperature
+    // path — five scans), and Spark re-executes, not shares, common
+    // subplans: uncached, the full per-document minhash pass (the
+    // dominant stage of this pipeline at corpus scale) runs five times
+    // per action. Persisted here — (id, 64 longs) rows, far narrower
+    // than the documents they sign — and registry-scoped exactly like
+    // ngramPrefixCandidates' shingle table. The banding explode stays
+    // OUTSIDE the cache so join planning above it is unconstrained.
+    // (probeAll drops the signature column entirely — column pruning
+    // removes the minhash pass there, and a persist would force it back)
+    val sigRaw = df.select(F.col(idCol),
       TextAnalysis.minhash_sig(F.col(textCol), numHashes, shingleSize).as("__sig"))
+    val sig =
+      if (probeAll) sigRaw
+      else {
+        val s = sigRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        PersistRegistry.swap(df.sparkSession,
+          ("minhash_sig", numHashes, bands, shingleSize), Seq(s))
+        s
+      }
 
     // band b = murmur of the slice [b*r, (b+1)*r) — one row per (doc,
     // band), carrying ONLY (band, bucket, id): at corpus scale the band
@@ -607,7 +626,20 @@ object Dedup {
       sigCol: String,
       maxHamming: Int,
       probeAll: Boolean = false): DataFrame = {
-    val sig = sigDf.select(F.col(idCol), F.col(sigCol).as("__sim"))
+    // same five-consumer persist as minhashLshPairs (census + 4 join
+    // branches re-execute the caller's signature pipeline otherwise);
+    // (id, long) rows, registry-scoped by plan identity. probeAll
+    // regimes skip it: their banding is constant-valued and the exact
+    // twin queries run over bounded slices where the cache buys nothing.
+    val sigRaw = sigDf.select(F.col(idCol), F.col(sigCol).as("__sim"))
+    val sig =
+      if (probeAll) sigRaw
+      else {
+        val s = sigRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        PersistRegistry.swap(sigDf.sparkSession,
+          ("simhash_sig", s.semanticHash()), Seq(s))
+        s
+      }
     val banded =
       if (probeAll)
         sig.select(F.col(idCol), F.col("__sim"),
