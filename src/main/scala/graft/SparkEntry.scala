@@ -50,7 +50,8 @@ object SparkEntry {
     * wrong #1") — an amortized number alone misreads as end-to-end. */
   val memoizedQueries: Set[String] = Set(
     "ivf_topk", "pq_topk", "pq_topk_exact",
-    "ngram_jaccard_dups", "semantic_dedup", "semantic_dedup_exact")
+    "ngram_jaccard_dups", "semantic_dedup", "semantic_dedup_exact",
+    "bpe_encode")
 
   private def memo(name: String, s: SparkSession, dir: String)(
       build: => DataFrame): DataFrame = {
@@ -2023,7 +2024,13 @@ object SparkEntry {
     // with the 20 trained merges — the vocabulary-bounded merge table
     // ships in the task closure; per-word memo inside each task. No SQL
     // oracle (iterative encode); round-trip + monotonicity in VocabSpec.
-    "bpe_encode" -> ((s, dir) => {
+    // Memoized like ivf_topk: bpeTrain runs its corpus word-count +
+    // driver merge loop at PLAN-CONSTRUCTION time (the trained merge
+    // table is the index), while the mapPartitions ENCODE still executes
+    // in full on every action — re-invocations measure steady-state
+    // encoding instead of re-paying training per call, and the bench's
+    // cold/query split reports both.
+    "bpe_encode" -> ((s, dir) => memo("bpe_encode", s, dir) {
       val d = read(s, dir, "documents")
       val merges = graft.ops.Vocab.bpeTrain(d, "text", numMerges = 20)
         .orderBy("rank").collect()

@@ -229,6 +229,11 @@ object Dedup {
       textCol: String, bitsPerItem: Int = 16): DataFrame = {
     val hNew = newDf.select(F.col(idCol), murmur64(F.col(textCol)).as("__h"))
     val winners = hNew.groupBy("__h").agg(F.min(F.col(idCol)).as(idCol))
+    // (the history hash column is scanned three times — Bloom sizing
+    // count, sketch build, exact anti join — but caching it was MEASURED
+    // SLOWER here: the InMemoryRelation's accurate stats freeze the anti
+    // join's planning, and three parallel parquet re-scans of a single
+    // long column are cheaper than one cache write + frozen plan)
     val oldH = oldDf.select(murmur64(F.col(textCol)).as("__h"))
     val fresh = BloomJoin.anti(winners, "__h", oldH, "__h", bitsPerItem)
       .select(F.col(idCol))
