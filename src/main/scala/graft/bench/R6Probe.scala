@@ -12,7 +12,7 @@ object R6Probe {
     val t0 = System.nanoTime()
     val r = f
     // scalastyle:off println
-    println(f"[probe] $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+    println(f"[probe] $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s  (r=$r)")
     // scalastyle:on println
     r
   }
@@ -92,17 +92,9 @@ object R6Probe {
       .select(F.col("doc_id"), F.col("text"))
     val n = 3
 
-    // replicate ngramPrefixCandidates piecewise
-    import graft.ops.Decontaminate
-    val words = docs.select(F.col("doc_id").as("__id"),
-      Decontaminate.tokens(F.col("text")).as("__ws"))
-    val shingles = F.array_distinct(
-      F.when(F.size(F.col("__ws")) >= n,
-        F.transform(F.sequence(F.lit(1), F.size(F.col("__ws")) - (n - 1)), i =>
-          F.concat_ws(" ",
-            (0 until n).map(o => F.element_at(F.col("__ws"), i + F.lit(o))): _*)))
-        .otherwise(F.array().cast("array<string>")))
-    val toks = words.select(F.col("__id"), F.explode(shingles).as("__tok"))
+    // replicate ngramPrefixCandidates piecewise (hashed-shingle path)
+    val toks = docs.select(F.col("doc_id").as("__id"),
+      F.explode(graft.ops.TextAnalysis.shingle_hashes(F.col("text"), n)).as("__tok"))
     t("toks explode count")(toks.count())
     val freq = toks.groupBy("__tok").agg(F.count(F.lit(1)).as("__df"))
     t("freq agg count")(freq.count())

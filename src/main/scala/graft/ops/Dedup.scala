@@ -512,16 +512,20 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // persist the pair projection FIRST: the symmetric union below reads
-    // it twice, and without the cache materializing `edges` executes the
-    // caller's whole pair-generation DAG (candidate join + verify for
-    // near-dup inputs — the expensive part) twice over. The projection
-    // is a distinct canonicalized plan, so unpersisting it cannot drop a
-    // cache entry the caller installed on the raw frame.
-    val p = pairs.select(F.col(aCol).as("__src"), F.col(bCol).as("__dst"))
-      .persist(lvl)
-    val edges = p
-      .unionAll(p.select(F.col("__dst").as("__src"), F.col("__src").as("__dst")))
+    // Symmetrize with ONE explode pass over the pair stream — NOT a
+    // self-union. A union's two branches schedule concurrently, so even
+    // a persisted pair projection gets computed twice: branch A's task
+    // for partition i and branch B's task for the same cached partition
+    // race, both miss, and both execute the caller's whole
+    // pair-generation DAG (candidate join + verify — the expensive part;
+    // measured as a full second materialization on the t=0.5 clustering
+    // input). The explode emits both directions from a single scan, so
+    // the caller's DAG executes exactly once, into the edges persist.
+    val edges = pairs
+      .select(F.explode(F.array(
+        F.struct(F.col(aCol).as("__src"), F.col(bCol).as("__dst")),
+        F.struct(F.col(bCol).as("__src"), F.col(aCol).as("__dst")))).as("__e"))
+      .select(F.col("__e.__src").as("__src"), F.col("__e.__dst").as("__dst"))
       .dropDuplicates("__src", "__dst")
       .persist(lvl)
     val tEdges = System.nanoTime()
@@ -532,7 +536,6 @@ object Dedup {
       // scalastyle:off println
       println(f"[cc] edges+labels sec=${(System.nanoTime() - tEdges) / 1e9}%.2f")
       // scalastyle:on println
-    p.unpersist(blocking = false)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
