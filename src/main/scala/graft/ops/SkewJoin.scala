@@ -26,9 +26,15 @@ import org.apache.spark.sql.{Column, DataFrame, functions => F}
   * skew trade.
   *
   * Group populations are counted in one map-side-combined pass over
-  * (key) rows; only groups above `hotThreshold` take the grid path
-  * (there are at most |rows|/hotThreshold of them), everything else
-  * takes the plain join untouched.
+  * (key) rows; only groups above `hotThreshold` enter the census (there
+  * are at most |rows|/hotThreshold of them) — every other group rides
+  * the same grid join with B = 1, which degenerates to exactly the
+  * plain join's matching (one cell per group) at the cost of two
+  * constant int join-key columns. ONE join for all temperatures: the r5
+  * design ran a separate plain join for cold groups and unioned, which
+  * computed the (potentially expensive) input subtree four times — two
+  * sides x two branches — where this computes it twice (r6 measurement,
+  * guide "remove shuffles/duplicate work outright").
   */
 object SkewJoin {
 
@@ -39,14 +45,16 @@ object SkewJoin {
     *
     * `hotThreshold` must exceed 1; `maxBuckets` caps the grid so the
     * replication factor stays bounded. Rows with a null in any key
-    * column never pair (join semantics on both paths).
+    * column never pair (join semantics: the final equi-join drops null
+    * keys).
     *
-    * `forceGrid` sends EVERY group through the grid (B = 1 for small
-    * ones) and omits the plain-join branch entirely. Required when the
-    * group key is a CONSTANT (the probeAll exact-oracle regimes):
-    * Catalyst folds a constant-key equi-join into a cartesian, which the
-    * plan audit rightly bans — the grid's bucket columns are computed
-    * from the row, so the join keeps real equi-join keys.
+    * Constant group keys (the probeAll exact-oracle regimes) are safe
+    * WITHOUT a special path: the grid's bucket columns are computed from
+    * the row (pmod of a hash), so even a constant-key group presents
+    * real, non-foldable equi-join keys and Catalyst cannot collapse the
+    * join into the cartesian the plan audit bans. `forceGrid` is
+    * therefore obsolete — kept for source compatibility, ignored (every
+    * group already goes through the grid).
     *
     * `broadcastCensus` (default true) hints the hot-group census into a
     * broadcast join for the tag-attach. The census is keys + an int per
@@ -58,7 +66,9 @@ object SkewJoin {
     * partitioning churn (canChangeCachedPlanOutputPartitioning=true —
     * measured 61 s cold / 67 s warm). A corpus whose census itself
     * approaches the 8 GB broadcast wall (~10^8+ hot groups) should pass
-    * false and take the shuffled tag-attach join instead. */
+    * false and take the shuffled tag-attach join instead. (This also
+    * closes the r5 advice note: the census is now ALWAYS hot-only —
+    * the old forceGrid path broadcast every distinct key.) */
   def selfPairsWithinGroups(
       df: DataFrame,
       keyCols: Seq[String],
@@ -77,7 +87,7 @@ object SkewJoin {
     // one cheap counting pass (map-side combined; carries keys + a long)
     val counted = packed.groupBy(keys: _*)
       .agg(F.count(F.lit(1)).as("__n"))
-    val hot = (if (forceGrid) counted else counted.filter(F.col("__n") > hotThreshold))
+    val hot = counted.filter(F.col("__n") > hotThreshold)
       .select(keys :+ F.greatest(F.lit(1), F.least(
         F.ceil(F.col("__n").cast("double") / hotThreshold).cast("int"),
         F.lit(maxBuckets))).as("__b"): _*)
@@ -91,27 +101,23 @@ object SkewJoin {
     // broadcast wall — the shuffled tag-attach join it degrades to is
     // correct and bounded (n rows per group, not n^2 pairs).
     val census = if (broadcastCensus) F.broadcast(hot) else hot
+    // cold groups (absent from the census) take B = 1: their grid is a
+    // single cell, i.e. the plain join's matching
     val tagged = packed.join(census, keyCols, "left")
-    lazy val cold = tagged.filter(F.col("__b").isNull).drop("__b")
-    lazy val coldPairs = cold.select(keys :+ F.col("__e").as("__l"): _*)
-      .join(cold.select(keys :+ F.col("__e").as("__r"): _*), keyCols)
-
-    // deterministic bucket: hash of the packed element (stable under
-    // retries), folded into [0, B)
-    val hotRows = (if (forceGrid) tagged else tagged.filter(F.col("__b").isNotNull))
+      .withColumn("__bb", F.coalesce(F.col("__b"), F.lit(1)))
+      // deterministic bucket: hash of the packed element (stable under
+      // retries), folded into [0, B)
       .withColumn("__g",
-        F.pmod(F.xxhash64(F.col("__e")), F.col("__b").cast("long")).cast("int"))
-    val leftH = hotRows.select(
+        F.pmod(F.xxhash64(F.col("__e")), F.col("__bb").cast("long")).cast("int"))
+    val leftH = tagged.select(
       keys ++ Seq(F.col("__g").as("__k1"),
-        F.explode(F.sequence(F.lit(0), F.col("__b") - 1)).as("__k2"),
+        F.explode(F.sequence(F.lit(0), F.col("__bb") - 1)).as("__k2"),
         F.col("__e").as("__l")): _*)
-    val rightH = hotRows.select(
-      keys ++ Seq(F.explode(F.sequence(F.lit(0), F.col("__b") - 1)).as("__k1"),
+    val rightH = tagged.select(
+      keys ++ Seq(F.explode(F.sequence(F.lit(0), F.col("__bb") - 1)).as("__k1"),
         F.col("__g").as("__k2"),
         F.col("__e").as("__r")): _*)
-    val hotPairs = leftH.join(rightH, keyCols ++ Seq("__k1", "__k2"))
+    leftH.join(rightH, keyCols ++ Seq("__k1", "__k2"))
       .drop("__k1", "__k2")
-
-    if (forceGrid) hotPairs else coldPairs.unionByName(hotPairs)
   }
 }
