@@ -314,12 +314,28 @@ object Dedup {
       .filter(F.col("id_a") < F.col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    // fetch text only for candidates, then exact-verify
-    val textsA = df.select(F.col(idCol).as("id_a"), F.col(textCol).as("text_a"))
-    val textsB = df.select(F.col(idCol).as("id_b"), F.col(textCol).as("text_b"))
-    candidateIds.join(textsA, "id_a").join(textsB, "id_b")
+    // Exact verify over PRECOMPUTED hashed shingle arrays — never the
+    // document text. The old shape joined full text onto every candidate
+    // row and re-shingled both sides per pair (jaccard_shingles builds
+    // two string sets per candidate); hashed arrays are computed once
+    // per document, the candidate joins carry long arrays instead of
+    // document bodies (the guide's move-small-rows lesson), and the
+    // intersection is long arithmetic. tokenFallback mirrors
+    // jaccardShingles' short-document token-set rule, and the both-empty
+    // case keeps its jaccard = 1.0, so the verified value is IDENTICAL
+    // to the text formulation absent a 2^-64 hash collision (the
+    // library's standard identity tradeoff).
+    val shArrs = df.select(F.col(idCol),
+      TextAnalysis.shingle_hashes(F.col(textCol), shingleSize, tokenFallback = true)
+        .as("__sh"))
+    val shA = shArrs.select(F.col(idCol).as("id_a"), F.col("__sh").as("__sha"))
+    val shB = shArrs.select(F.col(idCol).as("id_b"), F.col("__sh").as("__shb"))
+    candidateIds.join(shA, "id_a").join(shB, "id_b")
+      .withColumn("__i", F.size(F.array_intersect(F.col("__sha"), F.col("__shb"))))
+      .withColumn("__u", F.size(F.col("__sha")) + F.size(F.col("__shb")) - F.col("__i"))
       .withColumn("jaccard",
-        TextAnalysis.jaccard_shingles(F.col("text_a"), F.col("text_b"), shingleSize))
+        F.when(F.col("__u") === 0, F.lit(1.0))
+          .otherwise(F.col("__i").cast("double") / F.col("__u").cast("double")))
       .filter(F.col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -14,8 +14,8 @@ object TextAnalysis {
     column(SimHashNgram64(expression(c), width))
   def minhash_sig(c: Column, numHashes: Int = 64, shingleSize: Int = 3): Column =
     column(MinHashSig(expression(c), numHashes, shingleSize))
-  def shingle_hashes(c: Column, width: Int = 3): Column =
-    column(ShingleHashes(expression(c), width))
+  def shingle_hashes(c: Column, width: Int = 3, tokenFallback: Boolean = false): Column =
+    column(ShingleHashes(expression(c), width, tokenFallback))
   def gram_hashes(c: Column, width: Int): Column =
     column(GramHashes(expression(c), width))
   def fingerprint64(c: Column): Column = column(Fingerprint64(expression(c)))

@@ -181,8 +181,18 @@ object TextOps {
     * merge two shingles — the same documented tradeoff as
     * [[graft.ops.Dedup.exactDedup]] / duplicateSpans' hash-only grams.
     * Insertion-ordered distinct via an open-addressed long table (0 =
-    * empty; a zero hash is remapped, as in [[minhashSignature]]). */
-  def shingleHashes(s: String, width: Int): Array[Long] = {
+    * empty; a zero hash is remapped, as in [[minhashSignature]]).
+    *
+    * `tokenFallback = true` mirrors [[shingles]]' short-document rule:
+    * a document with fewer than `width` tokens contributes its DISTINCT
+    * TOKEN hashes (width-1 chains) instead of nothing — the regime
+    * [[jaccardShingles]] (and therefore minhashLshPairs' verify)
+    * defines. Token hashes and n-gram chain hashes live in the same
+    * 64-bit space, so a cross-regime collision is possible at 2^-64 —
+    * in string space the two vocabularies are disjoint (tokens cannot
+    * contain the space an n-gram string always has); same accepted
+    * tradeoff as every hash identity here. */
+  def shingleHashes(s: String, width: Int, tokenFallback: Boolean = false): Array[Long] = {
     // Decontaminate.tokens semantics: split on the single space char,
     // drop empty segments (tabs/newlines stay inside tokens)
     val toks = {
@@ -198,14 +208,17 @@ object TextOps {
       out
     }
     val n = toks.length
-    if (n < width) return Array.emptyLongArray
+    if (n < width && !tokenFallback) return Array.emptyLongArray
     val th = new Array[Long](n)
     var t = 0
     while (t < n) {
       th(t) = Murmur2Kernel.hash64(ByteOps.utf8(toks(t)))
       t += 1
     }
-    val nShingles = n - width + 1
+    // short-doc fallback: width-1 "shingles" = the tokens themselves
+    val w = if (n < width) 1 else width
+    val nShingles = n - w + 1
+    if (nShingles <= 0) return Array.emptyLongArray
     var cap = 4
     while (cap < nShingles * 2) cap <<= 1
     val table = new Array[Long](cap)
@@ -216,7 +229,7 @@ object TextOps {
     while (start < nShingles) {
       var base = th(start)
       var j = 1
-      while (j < width) {
+      while (j < w) {
         base = graft.sketch.HllSketch.fmix64(base ^ (th(start + j) * 0xc4ceb9fe1a85ec53L))
         j += 1
       }
@@ -423,8 +436,10 @@ case class MinHashSig(child: Expression, numHashes: Int, shingleSize: Int)
 }
 
 /** `shingle_hashes(text, width)` -> array<long>: distinct order-sensitive
-  * n-gram identity hashes (see TextOps.shingleHashes). */
-case class ShingleHashes(child: Expression, width: Int)
+  * n-gram identity hashes (see TextOps.shingleHashes; `tokenFallback`
+  * mirrors the jaccardShingles short-document token-set rule). */
+case class ShingleHashes(child: Expression, width: Int,
+    tokenFallback: Boolean = false)
     extends UnaryExpression with StringInOps {
   override def checkInputDataTypes(): TypeCheckResult = {
     if (width < 1) TypeCheckResult.TypeCheckFailure(s"$prettyName width must be >= 1")
@@ -434,7 +449,7 @@ case class ShingleHashes(child: Expression, width: Int)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "shingle_hashes"
   def compute(s: UTF8String): GenericArrayData =
-    new GenericArrayData(TextOps.shingleHashes(s.toString, width))
+    new GenericArrayData(TextOps.shingleHashes(s.toString, width, tokenFallback))
   override protected def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("shingleHashExpr", this, classOf[ShingleHashes].getName)
