@@ -117,7 +117,22 @@ object SkewJoin {
       keys ++ Seq(F.explode(F.sequence(F.lit(0), F.col("__bb") - 1)).as("__k1"),
         F.col("__g").as("__k2"),
         F.col("__e").as("__r")): _*)
-    leftH.join(rightH, keyCols ++ Seq("__k1", "__k2"))
+    // PIN the grid join's partition count. AQE coalesces post-shuffle
+    // partitions by INPUT BYTES, but this join's work is its OUTPUT —
+    // within-cell pair generation amplifies a few MB of (key, id) rows
+    // into millions of pairs — so byte-based coalescing merges the whole
+    // grid into one or two partitions and serializes exactly the compute
+    // the grid exists to spread (measured at 10x scale: the SRP-bucketed
+    // embedding query ran its 25M candidate pairs in ONE 7.6 s task,
+    // warm pass 18 s vs 9 s). An explicit numbered repartition on the
+    // join keys is exempt from AQE coalescing and satisfies the join's
+    // distribution requirement, so it pins width without adding an
+    // exchange. The count comes from the session's configured shuffle
+    // width — cluster-sized in production, never a local constant.
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val joinKeys = (keyCols ++ Seq("__k1", "__k2")).map(F.col)
+    leftH.repartition(n, joinKeys: _*)
+      .join(rightH.repartition(n, joinKeys: _*), keyCols ++ Seq("__k1", "__k2"))
       .drop("__k1", "__k2")
   }
 }
